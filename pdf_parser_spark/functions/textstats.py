@@ -1,0 +1,229 @@
+"""Text-analysis functions for the training-data pipeline tier.
+
+Every function here is a NATIVE Spark column expression (JVM-side,
+whole-stage codegen — no Python in the hot path) with a DuckDB-SQL
+twin string for the driver's oracle comparison. The twin must compute
+bit-identical values, so only constructs with identical semantics in
+Spark SQL and DuckDB are used (length, lower, split-regex, list
+lambdas, md5, arithmetic).
+
+Operators: token counting (whitespace + BPE-ish word-piece regex),
+quality scoring (length / punctuation / stopword / alpha ratios),
+language ID (stopword-profile n-gram heuristic), document
+fingerprinting (md5 exact + polynomial rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- tokens
+
+#: BPE-ish pre-tokenizer: word pieces = letter runs, digit runs, or
+#: single non-space punctuation (GPT-2-style pre-tokenization shape).
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def ws_token_count_sql(col: str) -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END"
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish word pieces (letters / digits / punct singles)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_REGEX), 0))
+
+
+def bpe_token_count_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+# ------------------------------------------------------------ quality
+
+STOPWORDS = (
+    "the a an and or of to in is it that for on with as at this by "
+    "from be are was were has have had not but"
+).split()
+
+_PUNCT_CLASS = r"[.,!?;:'\"()\[\]-]"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_features(col: Column) -> dict:
+    """Component features of the quality score, each a named Column."""
+    n_chars = F.length(col)
+    words = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.lower(col)), r"\s+")
+    )
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(col, _PUNCT_CLASS, ""))
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": _ratio(n_chars - (n_words - 1), n_words),
+        "punct_ratio": _ratio(n_punct, n_chars),
+        "alpha_ratio": _ratio(n_alpha, n_chars),
+        "stopword_ratio": _ratio(n_stop, n_words),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Gopher/C4-style heuristic quality score in [0,1]:
+    0.25·len_ok + 0.25·stopword_ok + 0.25·alpha_ok + 0.25·punct_ok,
+    with len_ok = 50 <= n_chars <= 100000, stopword_ok = ratio >= 0.05,
+    alpha_ok = ratio >= 0.6, punct_ok = ratio <= 0.2."""
+    f = quality_features(col)
+    ok = lambda c: F.when(c, 1.0).otherwise(0.0)  # noqa: E731
+    return (
+        0.25 * ok((f["n_chars"] >= 50) & (f["n_chars"] <= 100000))
+        + 0.25 * ok(f["stopword_ratio"] >= 0.05)
+        + 0.25 * ok(f["alpha_ratio"] >= 0.6)
+        + 0.25 * ok(f["punct_ratio"] <= 0.2)
+    ).alias("quality_score")
+
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def quality_features_sql(col: str) -> dict:
+    words = (
+        f"CASE WHEN trim({col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim(lower({col})), '\\s+') END"
+    )
+    n_words = f"len({words})"
+    n_chars = f"length({col})"
+    n_punct = (
+        f"length({col}) - length(regexp_replace({col},"
+        " '[.,!?;:''\"()\\[\\]-]', '', 'g'))"
+    )
+    n_alpha = f"length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    n_stop = f"len(list_filter({words}, w -> list_contains({_SW_SQL}, w)))"
+    r = lambda num, den: (  # noqa: E731
+        f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)/CAST({den} AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": r(f"{n_chars} - ({n_words} - 1)", n_words),
+        "punct_ratio": r(n_punct, n_chars),
+        "alpha_ratio": r(n_alpha, n_chars),
+        "stopword_ratio": r(n_stop, n_words),
+    }
+
+
+def quality_score_sql(col: str) -> str:
+    f = quality_features_sql(col)
+    ok = lambda c: f"CASE WHEN {c} THEN 1.0 ELSE 0.0 END"  # noqa: E731
+    len_ok = ok(f"({f['n_chars']}) >= 50 AND ({f['n_chars']}) <= 100000")
+    stop_ok = ok(f"({f['stopword_ratio']}) >= 0.05")
+    alpha_ok = ok(f"({f['alpha_ratio']}) >= 0.6")
+    punct_ok = ok(f"({f['punct_ratio']}) <= 0.2")
+    return f"0.25*({len_ok}) + 0.25*({stop_ok}) + 0.25*({alpha_ok}) + 0.25*({punct_ok})"
+
+
+# ------------------------------------------------------------- langid
+
+LANG_PROFILES = {
+    "en": "the and is of to in that it for with as this".split(),
+    "de": "der die das und ist von zu mit nicht ein eine den".split(),
+    "fr": "le la les et est des une dans que pour sur pas".split(),
+    "es": "el la los y es de en que un una para por".split(),
+}
+
+
+def lang_scores(col: Column) -> dict:
+    """Per-language stopword-hit counts over lowercase word tokens."""
+    words = F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.lower(col)), r"\s+")
+    )
+    out = {}
+    for lang, prof in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in prof])
+        out[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language, 'und' when all scores are 0. Deterministic
+    tie-break: higher score wins, ties broken by profile order
+    en > de > fr > es (strict > comparison in a fold)."""
+    scores = lang_scores(col)
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in LANG_PROFILES:  # insertion order = tie-break order
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(col: str) -> str:
+    words = (
+        f"CASE WHEN trim({col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim(lower({col})), '\\s+') END"
+    )
+    parts = []
+    for lang, prof in LANG_PROFILES.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in prof) + "]"
+        parts.append(
+            (lang, f"len(list_filter({words}, w -> list_contains({arr}, w)))")
+        )
+    # same strict-> fold, rendered as nested CASE
+    expr_lang, expr_score = "'und'", "0"
+    for lang, s in parts:
+        expr_lang = f"CASE WHEN ({s}) > ({expr_score}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN ({s}) > ({expr_score}) THEN ({s}) ELSE {expr_score} END"
+    return expr_lang
+
+
+# -------------------------------------------------------- fingerprints
+
+def md5_fingerprint(col: Column) -> Column:
+    """Exact-dedup content fingerprint (hex md5 — identical builtin in
+    Spark and DuckDB)."""
+    return F.md5(col)
+
+
+def md5_fingerprint_sql(col: str) -> str:
+    return f"md5({col})"
+
+
+ROLL_BASE, ROLL_MOD = 257, 1_000_000_007
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over ascii codes (Rabin-Karp form):
+    fold(acc = (acc*257 + ascii(char)) mod 1e9+7). Whole-document
+    variant of the shingle fingerprints used by the dedup family.
+    Expressed with higher-order aggregate → stays JVM-side."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLL_BASE + F.ascii(ch)) % ROLL_MOD,
+    )
+
+
+def rolling_fingerprint_sql(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({col}, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(acc, ch) -> (acc * {ROLL_BASE} + ch) % {ROLL_MOD})"
+    )

@@ -1,0 +1,216 @@
+"""The flagship job: Common-Crawl-style `pages` → `documents`.
+
+Pipeline (SURVEY.md §3.4):
+
+    read pages (parquet locally; Iceberg in production — same DataFrame
+      code, the source format is a config string)
+    → resume anti-join against the lineage table's completed buckets
+    → salted repartition by url-hash (skew defusal: heavy-tailed doc
+      sizes; hashing decorrelates neighbors, AQE handles the rest)
+    → ONE mapInPandas pass: sniff payload → from-scratch PDF byte-stream
+      parse (text T1 + metadata T4 + tables X1-X5) or HTML boilerplate
+      strip (T10) — Arrow-batched, no per-row Python
+    → native T2 clean (regexp chain, whole-stage codegen)
+    → T3 chunk pandas UDF
+    → write documents + per-bucket lineage/metrics rows
+
+The reference equivalent is PDFParser.parse_pdf
+(/root/reference/src/pdf_parser.py:291-372) run once per file; here the
+same per-document semantics run batched over billions of rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType,
+)
+
+from ..functions.chunk import make_chunk_udf
+from ..functions.clean import clean_text_col
+
+#: columns produced by the extraction mapInPandas pass (pre clean/chunk)
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("kind", StringType()),           # pdf | html | empty
+    StructField("raw_text", StringType()),
+    StructField("metadata", MapType(StringType(), StringType())),
+    StructField("tables_json", StringType()),    # X1-X5 output (JSON), M3
+    StructField("num_tables", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("error", StringType()),
+])
+
+DOCUMENTS_COLUMNS = [
+    "url", "kind", "text", "chunks", "num_chunks", "metadata",
+    "tables_json", "num_tables", "ocr_used", "n_bytes", "error",
+]
+
+
+def extract_one(payload: Optional[bytes]) -> dict:
+    """Per-document extraction core (runs inside the Arrow batch loop).
+
+    Mirrors parse_pdf's stages A (text) + C (metadata) + D (tables)
+    for PDF payloads; T10 boilerplate strip for HTML payloads.
+    """
+    out = {
+        "kind": "empty", "raw_text": "", "metadata": {},
+        "tables_json": None, "num_tables": 0,
+        "n_bytes": 0 if payload is None else len(payload), "error": None,
+    }
+    if not payload:
+        return out
+    try:
+        if payload[:5] == b"%PDF-" or b"%PDF-" in payload[:1024]:
+            from ..operators.tables import extract_tables_json
+            from ..pdf.metadata import extract_metadata
+            from ..pdf.text import extract_document_text
+
+            out["kind"] = "pdf"
+            out["raw_text"] = extract_document_text(payload)
+            out["metadata"] = extract_metadata(payload)
+            tables_json, n_tables = extract_tables_json(payload)
+            out["tables_json"] = tables_json
+            out["num_tables"] = n_tables
+        else:
+            from ..html.boilerplate import extract_main_text
+
+            out["kind"] = "html"
+            html = payload.decode("utf-8", errors="replace")
+            out["raw_text"] = extract_main_text(html)
+            out["metadata"] = {}
+    except Exception:
+        out["error"] = traceback.format_exc(limit=3)
+    return out
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = []
+        for url, payload in zip(b["url"], b["html"]):
+            r = extract_one(payload)
+            r["url"] = url
+            rows.append(r)
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+
+def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
+    """Skew-defusing repartition: hash(url)+salt, per the north rule.
+
+    xxhash64(url) decorrelates crawl locality (adjacent urls from one
+    giant host land on different executors); AQE cannot split a
+    straggler *map* task, so this pre-balance is our own code.
+    """
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(partitions * 8))
+    return df.repartition(partitions, salt)
+
+
+def extract_documents(
+    pages: DataFrame,
+    partitions: Optional[int] = None,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+) -> DataFrame:
+    """pages → documents DataFrame (lazy; no side effects)."""
+    spark = pages.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 2
+    extracted = salted_repartition(
+        pages.select("url", "html"), partitions
+    ).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+
+    chunk_udf = make_chunk_udf(chunk_size, chunk_overlap)
+    return (
+        extracted
+        .withColumn("text", clean_text_col(F.col("raw_text")))
+        .withColumn("chunks", chunk_udf(F.col("text")))
+        .withColumn("num_chunks", F.size("chunks"))
+        .withColumn("ocr_used", F.lit(False))
+        .select(*DOCUMENTS_COLUMNS)
+    )
+
+
+# ---------------------------------------------------------------- lineage
+
+LINEAGE_SCHEMA = (
+    "run_id string, url_bucket int, n_docs long, n_bytes long, "
+    "n_errors long, n_pdf long, n_html long, wall_sec double, status string"
+)
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
+    if not os.path.exists(lineage_path):
+        return None
+    try:
+        lin = spark.read.parquet(lineage_path)
+        return lin.filter(F.col("status") == "ok").select("url_bucket").distinct()
+    except Exception:
+        return None
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_id: str = "run1",
+    n_buckets: int = 64,
+    partitions: Optional[int] = None,
+    limit_buckets: Optional[int] = None,
+) -> dict:
+    """Resumable batch job with per-bucket lineage (SURVEY §7.4).
+
+    A bucket (pmod(xxhash64(url), n_buckets)) is the unit of resume:
+    restart anti-joins pages against lineage's ok buckets — exactly
+    the `pages LEFT ANTI JOIN lineage` design from the north rule. The
+    done-bucket side is tiny (≤ n_buckets rows) → broadcast join, no
+    shuffle of the big side.
+    """
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path).withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    done = completed_buckets(spark, os.path.join(out_dir, "lineage.parquet"))
+    if done is not None:
+        pages = pages.join(F.broadcast(done), "url_bucket", "left_anti")
+    if limit_buckets is not None:  # partial run (used to demo resume)
+        pages = pages.filter(F.col("url_bucket") < limit_buckets)
+
+    docs = extract_documents(pages, partitions=partitions)
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    docs.write.mode("append").parquet(docs_path)
+
+    written = spark.read.parquet(docs_path)
+    wall = time.time() - t0
+    lineage_rows = (
+        written.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("url_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("kind") == "pdf", 1).otherwise(0)).alias("n_pdf"),
+            F.sum(F.when(F.col("kind") == "html", 1).otherwise(0)).alias("n_html"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_sec", F.lit(float(wall)))
+        .withColumn("status", F.lit("ok"))
+        .select(
+            "run_id", "url_bucket", "n_docs", "n_bytes", "n_errors",
+            "n_pdf", "n_html", "wall_sec", "status",
+        )
+    )
+    lineage_rows.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineage.parquet")
+    )
+    n = written.count()
+    return {"run_id": run_id, "n_docs": n, "wall_sec": wall,
+            "docs_per_sec": n / wall if wall > 0 else 0.0}

@@ -1,0 +1,333 @@
+"""Deduplication operators for the training-data pipeline tier.
+
+Five dedup families, each as composable DataFrame transforms with
+DuckDB-SQL twins where the math is portable (md5 is the shared
+primitive — bit-identical in Spark and DuckDB, so signatures match
+across engines exactly):
+
+- exact:        md5(text) groupBy                      (one shuffle)
+- minhash+LSH:  word-shingles → k minhashes (min of md5-hex per seed)
+                → banded keys → bucket join for candidates
+- simhash:      32-bit hex-nibble-majority signature (explode+agg)
+- ngram-jaccard: shingle self-join → pairwise Jaccard
+- embedding near-dup lives in operators/similarity.py
+
+Scale notes (100 TB): exact/minhash/simhash are linear with one or two
+shuffles on bounded-width keys (signatures are ≤ 16×16-byte strings,
+never full text). The candidate self-joins shuffle on shingle/band
+keys whose cardinality is huge (good spread); hot shingles (common
+phrases) are the skew risk — `ngram_jaccard_pairs` therefore drops
+shingles with document-frequency > max_df before joining, the standard
+stop-shingle defusal. AQE skew-join handles the residue.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- exact
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups: fingerprint, n_docs, keeper (min id).
+    Returns only groups (fingerprints) — never collects texts."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("keeper"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct text. Window-free plan: a
+    groupBy on (hash) with min-id then semi-join back — two narrow
+    shuffles, no sort, skew-safe (hash keys are uniform)."""
+    keepers = exact_dup_groups(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ------------------------------------------------------------ shingles
+
+
+def word_shingles(col: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as array<string>; [] if < n words.
+
+    Native expression: split → transform over a sequence of start
+    offsets → concat slices. Stays in codegen, no UDF.
+    """
+    words = F.split(F.trim(col), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        (F.trim(col) == "") | (k <= 0), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def word_shingles_sql(col: str, n: int = 5) -> str:
+    words = f"string_split_regex(trim({col}), '\\s+')"
+    k = f"(len({words}) - {n - 1})"
+    return (
+        f"CASE WHEN trim({col}) = '' OR {k} <= 0 THEN [] "
+        f"ELSE list_transform(generate_series(1, {k}), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+N_HASHES = 16
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 4
+
+
+def minhash_signature(col: Column, n_hashes: int = N_HASHES,
+                      shingle_n: int = 5) -> Column:
+    """k-permutation minhash over word shingles.
+
+    Permutation j = lexicographic order of substr(md5(j || '|' || s),
+    1, 16); the signature element is the minimum — a 16-hex-char
+    string. md5 keys make the signature engine-portable (DuckDB twin
+    computes the identical value). NULL-free: empty shingle set → all
+    'ffffffffffffffff' sentinels.
+    """
+    sh = word_shingles(col, shingle_n)
+    elems = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, j=j: F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(j)), s)), 1, 16
+                    ),
+                )
+            ),
+            F.lit("f" * 16),
+        )
+        for j in range(n_hashes)
+    ]
+    return F.array(*elems)
+
+
+def minhash_signature_sql(col: str, n_hashes: int = N_HASHES,
+                          shingle_n: int = 5) -> str:
+    sh = word_shingles_sql(col, shingle_n)
+    elems = [
+        (
+            f"coalesce(list_min(list_transform({sh}, "
+            f"s -> substring(md5('{j}|' || s), 1, 16))), '{'f' * 16}')"
+        )
+        for j in range(n_hashes)
+    ]
+    return "[" + ", ".join(elems) + "]"
+
+
+def lsh_band_keys(sig: Column, n_bands: int = N_BANDS,
+                  rows_per_band: int = N_HASHES // N_BANDS) -> Column:
+    """Banded LSH keys: md5 of each band's signature slice, prefixed
+    with the band index so buckets from different bands never merge."""
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))),
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape: signature (map-only) → posexplode band keys → self-join
+    on band key (shuffle on 16-byte keys) → distinct pairs. Bucket
+    sizes are bounded by collision structure, not corpus size; the
+    distinct dedups pairs colliding in multiple bands.
+    """
+    sig = df.select(
+        F.col(id_col),
+        lsh_band_keys(minhash_signature(F.col(text_col), shingle_n=shingle_n))
+        .alias("bands"),
+    )
+    exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+_HI_NIBBLES = ["8", "9", "a", "b", "c", "d", "e", "f"]
+SIMHASH_BITS = 32
+
+
+def simhash32(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document (Charikar 2002 shape).
+
+    Bit j is the majority vote over tokens of the j-th hex digit of
+    md5(token): digit ≥ '8' votes +1, else −1; ties → 0 (bit off).
+    Formulated as explode → single groupBy with 32 conditional sums →
+    weighted recombination. One shuffle on id; all JVM-side; the hex
+    formulation is DuckDB-portable (twin in __spark_entry__).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+            ).otherwise(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(_HI_NIBBLES), 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash32_sql(text_col: str = "text", id_col: str = "doc_id",
+                  table: str = "documents") -> str:
+    words = (
+        f"CASE WHEN trim({text_col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim(lower({text_col})), '\\s+') END"
+    )
+    votes = ", ".join(
+        (
+            "SUM(CASE WHEN substring(md5(tok), {p}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
+        ).format(p=j + 1, j=j)
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT {id_col}, CAST({sim} AS BIGINT) AS simhash FROM ("
+        f"SELECT {id_col}, unnest({words}) AS tok FROM {table}"
+        f") GROUP BY {id_col}"
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — native bit ops only."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+# -------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle SETS, via a
+    shingle-key self-join (id_a < id_b), keeping pairs ≥ threshold.
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|), computed from the join
+    (intersection counts) plus per-doc distinct-shingle counts —
+    full texts never cross the shuffle, only (shingle_hash, id).
+    Shingles with document frequency > max_df are dropped before the
+    join (stop-shingle skew defusal; near-dup semantics unaffected for
+    thresholds this high since such shingles are corpus-wide).
+    """
+    shing = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    ).withColumn("sh", F.md5(F.col("sh")))
+    sizes = shing.groupBy(id_col).agg(
+        F.count(F.col("sh")).alias("n_sh")
+    )
+    hot = (
+        shing.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
+    )
+    pruned = shing.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    text_col: str = "text", id_col: str = "doc_id", table: str = "documents",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> str:
+    sh_expr = word_shingles_sql(text_col, shingle_n)
+    return f"""
+WITH shing AS (
+  SELECT {id_col}, md5(sh) AS sh FROM (
+    SELECT {id_col}, unnest(list_distinct({sh_expr})) AS sh FROM {table}
+  )
+), sizes AS (
+  SELECT {id_col}, COUNT(sh) AS n_sh FROM shing GROUP BY {id_col}
+), inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b USING (sh)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""

@@ -1,0 +1,95 @@
+"""End-to-end: synthetic pages → extract_documents → expected parity,
+plus the lineage/resume mechanism of run_extract_job."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from pdf_parser_spark.datagen.pages import write_pages
+
+    d = str(tmp_path_factory.mktemp("pages"))
+    write_pages(spark, d, n=120, seed=42, include_fixtures=True)
+    return d
+
+
+def test_pipeline_matches_expected(spark, pages_dir):
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet"))
+    expected = spark.read.parquet(os.path.join(pages_dir, "expected.parquet"))
+    docs = extract_documents(pages, partitions=8)
+
+    joined = (
+        docs.join(expected, "url")
+        .filter(F.col("expected_kind").isin("pdf", "html"))
+        .select("url", "text", "expected_text", "kind", "expected_kind", "error")
+        .collect()
+    )
+    assert len(joined) == 120
+    bad = [r for r in joined if r.text != r.expected_text or r.error]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[0].url if bad else ''}"
+    kinds = {r.url: r.kind for r in joined}
+    assert all(
+        k == ("pdf" if "/pdf/" in u else "html") for u, k in kinds.items()
+    )
+
+
+def test_pipeline_fixture_rows_extract(spark, pages_dir):
+    import json
+
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet")).filter(
+        F.col("url").startswith("https://fixtures.local/")
+    )
+    rows = {r.url: r for r in extract_documents(pages, partitions=2).collect()}
+    assert len(rows) == 2
+    with open(
+        "/root/reference/exports/Snack_planogram_12_05_2025_parsed.json"
+    ) as f:
+        golden = json.load(f)
+    plano = rows["https://fixtures.local/snack_planogram"]
+    assert plano.error is None
+    assert plano.metadata["num_pages"] == "7"
+    # chunk quirk: ['', text]
+    assert plano.num_chunks == golden["num_chunks"] == 2
+    assert plano.chunks[0] == ""
+    assert abs(len(plano.text) - len(golden["text"])) <= 20
+    rei = rows["https://fixtures.local/rei_8727"]
+    assert rei.metadata["num_pages"] == "33"
+    assert len(rei.text) > 50_000
+
+
+def test_chunks_match_reference_algorithm(spark, pages_dir):
+    from pdf_parser_spark.functions.chunk import chunk_text
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet")).limit(30)
+    for r in extract_documents(pages, partitions=4).collect():
+        assert list(r.chunks) == chunk_text(r.text)
+        assert r.num_chunks == len(r.chunks)
+
+
+def test_resume_job(spark, pages_dir, tmp_path):
+    from pdf_parser_spark.jobs.extract import run_extract_job
+
+    out = str(tmp_path / "out")
+    pages_path = os.path.join(pages_dir, "pages.parquet")
+    total = spark.read.parquet(pages_path).count()
+
+    r1 = run_extract_job(
+        spark, pages_path, out, run_id="r1", n_buckets=16, limit_buckets=8
+    )
+    assert 0 < r1["n_docs"] < total
+    # resume: only the remaining buckets are processed, union is complete
+    r2 = run_extract_job(spark, pages_path, out, run_id="r2", n_buckets=16)
+    assert r2["n_docs"] == total
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert docs.count() == total
+    assert docs.select("url").distinct().count() == total  # no double work
+    lin = spark.read.parquet(os.path.join(out, "lineage.parquet"))
+    assert lin.agg(F.sum("n_docs")).first()[0] == total
