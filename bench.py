@@ -1,0 +1,123 @@
+"""Headline benchmark for the PySpark extraction engine.
+
+Runs the flagship pipeline (pages → documents, both HTML and PDF
+routes built deterministically from $SPARK_GRAFT_SF_DIR/documents
+per BASELINE.json input_hint) plus the training-data-tier operators,
+on local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+
+The driver records this as BENCH_r{N}.json. For the north rule's
+two-cluster-size scaling evidence, run tools/scaling_bench.py (same
+job at local[8] and local[32] → efficiency in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pdf_parser_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from pdf_parser_spark.jobs.extract import extract_documents
+    from pdf_parser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # flagship: mixed-route extraction (the BASELINE.json metric)
+    def q_extract():
+        pages = entry._html_pages(docs.where(F.col("doc_id") % 4 != 3)).unionByName(
+            entry._pdf_pages(docs.where(F.col("doc_id") % 4 == 3))
+        )
+        out = extract_documents(pages, partitions=cpus * 2)
+        return out.agg(
+            F.count("*"), F.sum(F.length("text")), F.sum("num_chunks")
+        ).collect()
+
+    timed("extract_mixed", q_extract)
+    extra["docs_per_sec"] = round(n_docs / timings["extract_mixed"], 2)
+
+    # dedup family
+    timed("minhash_lsh", lambda: dedup.minhash_lsh_candidates(docs).count())
+    timed("simhash", lambda: dedup.simhash32(docs).agg(F.sum("simhash")).collect())
+    timed(
+        "ngram_jaccard",
+        lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(),
+    )
+    timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
+
+    # text analysis (one fused native pass)
+    def q_textstats():
+        from pdf_parser_spark.functions import textstats as ts
+
+        return docs.select(
+            ts.ws_token_count(F.col("text")).alias("a"),
+            ts.bpe_token_count(F.col("text")).alias("b"),
+            ts.quality_score(F.col("text")).alias("q"),
+            ts.lang_id(F.col("text")).alias("l"),
+            ts.md5_fingerprint(F.col("text")).alias("m"),
+        ).agg(F.sum("a"), F.sum("b"), F.sum("q"), F.count("l")).collect()
+
+    timed("textstats", q_textstats)
+
+    # similarity search
+    timed("cosine_topk", lambda: entry._q_cosine_topk(spark, sf_dir).collect())
+    timed("ann_lsh_topk", lambda: entry._q_ann_topk(spark, sf_dir).collect())
+    timed(
+        "emb_neardup",
+        lambda: entry._q_emb_neardup(spark, sf_dir).count(),
+    )
+
+    # relational natives
+    timed(
+        "pricing_summary",
+        lambda: entry._q_pricing_summary(spark, sf_dir).collect(),
+    )
+    timed(
+        "events_hourly", lambda: entry._q_events_hourly(spark, sf_dir).count()
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+training-data suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

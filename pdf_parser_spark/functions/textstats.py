@@ -134,7 +134,12 @@ def quality_score_sql(col: str) -> str:
     stop_ok = ok(f"({f['stopword_ratio']}) >= 0.05")
     alpha_ok = ok(f"({f['alpha_ratio']}) >= 0.6")
     punct_ok = ok(f"({f['punct_ratio']}) <= 0.2")
-    return f"0.25*({len_ok}) + 0.25*({stop_ok}) + 0.25*({alpha_ok}) + 0.25*({punct_ok})"
+    # CAST: DuckDB decimal literals would otherwise yield DECIMAL, and
+    # round(DECIMAL) renders '1.000' != Spark's DOUBLE 1.0
+    return (
+        f"CAST(0.25*({len_ok}) + 0.25*({stop_ok}) + 0.25*({alpha_ok})"
+        f" + 0.25*({punct_ok}) AS DOUBLE)"
+    )
 
 
 # ------------------------------------------------------------- langid

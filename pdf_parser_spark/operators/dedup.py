@@ -103,21 +103,24 @@ def minhash_signature(col: Column, n_hashes: int = N_HASHES,
     'ffffffffffffffff' sentinels.
     """
     sh = word_shingles(col, shingle_n)
-    elems = [
-        F.coalesce(
+
+    def perm_min(j: int) -> Column:
+        # NOTE: the inner lambda must take exactly ONE parameter —
+        # F.transform dispatches on lambda arity, and a two-arg lambda
+        # (e.g. `lambda s, j=j`) would receive the ARRAY INDEX as its
+        # second argument, silently replacing the captured seed.
+        prefix = F.lit(f"{j}|")
+        return F.coalesce(
             F.array_min(
                 F.transform(
                     sh,
-                    lambda s, j=j: F.substring(
-                        F.md5(F.concat_ws("|", F.lit(str(j)), s)), 1, 16
-                    ),
+                    lambda s: F.substring(F.md5(F.concat(prefix, s)), 1, 16),
                 )
             ),
             F.lit("f" * 16),
         )
-        for j in range(n_hashes)
-    ]
-    return F.array(*elems)
+
+    return F.array(*[perm_min(j) for j in range(n_hashes)])
 
 
 def minhash_signature_sql(col: str, n_hashes: int = N_HASHES,
@@ -237,8 +240,9 @@ def simhash32_sql(text_col: str = "text", id_col: str = "doc_id",
     )
     return (
         f"SELECT {id_col}, CAST({sim} AS BIGINT) AS simhash FROM ("
+        f"SELECT {id_col}, {votes} FROM ("
         f"SELECT {id_col}, unnest({words}) AS tok FROM {table}"
-        f") GROUP BY {id_col}"
+        f") GROUP BY {id_col})"
     )
 
 

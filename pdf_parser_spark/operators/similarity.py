@@ -1,0 +1,314 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline)
+and sign-LSH banded ANN (the 100 TB scale path), plus embedding-cosine
+near-duplicate pairs (the fifth dedup family of operators/dedup.py).
+
+Everything is a NATIVE Spark column expression (zip_with / aggregate
+higher-order functions — JVM-side fold, no Python in the hot path),
+with DuckDB-SQL twin builders for the driver's oracle comparison.
+
+Engine-portability notes:
+- dot products fold left-to-right over doubles in BOTH engines
+  (Spark `aggregate` with 0.0 init; DuckDB `list_reduce` whose
+  implicit init is the first element — IEEE-identical since
+  0.0 + x == x), so scores match bitwise; outputs are additionally
+  rounded to 6 dp so the driver's value-hash is robust.
+- LSH hyperplanes are ±1 vectors derived from md5(j:d) computed ONCE
+  driver-side (hashlib) and embedded as literals in both the Spark
+  expression and the SQL twin — the two engines share the exact
+  planes without needing random state.
+
+Scale notes (100 TB): brute-force top-k is one map + one global top-k
+(Spark's TakeOrderedAndProject — partial per-partition heaps, no full
+sort, no shuffle of vectors). The ANN path buckets vectors by banded
+hyperplane signs; candidate generation joins only within buckets
+(shuffle keys are short strings, vectors stay columnar) — the standard
+sign-LSH design from Charikar (STOC 2002). The near-dup pair operator
+reuses the banded buckets so the pair join never goes quadratic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+N_BANDS = 4  # 4 sign bits per band
+
+# ------------------------------------------------------------ planes
+
+
+def plane_sign(j: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component from md5 — identical on
+    any engine/host, no RNG state to ship."""
+    h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) >= 8 else -1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> List[List[float]]:
+    return [[plane_sign(j, d) for d in range(dim)] for j in range(n_planes)]
+
+
+# ------------------------------------------------------- dot / cosine
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double fold of the elementwise product."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` — same fold order."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    na, nb = f"sqrt({dot_sql(a, a)})", f"sqrt({dot_sql(b, b)})"
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN ({dot_sql(a, b)}) / (({na}) * ({nb})) ELSE 0.0 END"
+    )
+
+
+# ------------------------------------------------- brute-force top-k
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    Plan: map-only scoring + TakeOrderedAndProject (per-partition
+    partial top-k, driver merge) — no shuffle, no global sort. Rank on
+    the 6-dp-rounded score with id tie-break so the result set is
+    deterministic and engine-portable.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_sql(
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+) -> str:
+    q = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]"
+    return (
+        f"SELECT {id_col}, round({cosine_sql(vec_col, q)}, 6) AS cos_sim "
+        f"FROM {table} ORDER BY cos_sim DESC, {id_col} ASC LIMIT {k}"
+    )
+
+
+# ------------------------------------------------------ sign-LSH ANN
+
+
+def lsh_sign_bits(vec: Column, planes: List[List[float]]) -> List[Column]:
+    """One '0'/'1' sign column per hyperplane (dot >= 0)."""
+    bits = []
+    for p in planes:
+        pc = F.array(*[F.lit(v) for v in p])
+        bits.append(F.when(dot(vec, pc) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return bits
+
+
+def lsh_band_keys(vec: Column, planes: List[List[float]],
+                  n_bands: int = N_BANDS) -> Column:
+    """array<string> of banded sign-bucket keys ('band:bits')."""
+    bits = lsh_sign_bits(vec, planes)
+    per = len(bits) // n_bands
+    keys = [
+        F.concat_ws("", F.lit(f"{b}:"), *bits[b * per:(b + 1) * per])
+        for b in range(n_bands)
+    ]
+    return F.array(*keys)
+
+
+def _lsh_bits_sql(vec: str, planes: List[List[float]]) -> List[str]:
+    out = []
+    for p in planes:
+        pc = "[" + ", ".join(repr(v) for v in p) + "]"
+        out.append(
+            f"CASE WHEN {dot_sql(vec, pc)} >= 0 THEN '1' ELSE '0' END"
+        )
+    return out
+
+
+def lsh_band_keys_sql(vec: str, planes: List[List[float]],
+                      n_bands: int = N_BANDS) -> List[str]:
+    bits = _lsh_bits_sql(vec, planes)
+    per = len(bits) // n_bands
+    return [
+        f"'{b}:' || " + " || ".join(bits[b * per:(b + 1) * per])
+        for b in range(n_bands)
+    ]
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing >= 1 LSH band
+    with the query. The band keys of the constant query are computed
+    driver-side, so candidate selection is a map-side array-overlap
+    filter (no join, no shuffle) followed by the same partial top-k
+    as the brute-force path. At 100 TB the filter prunes ~(1 - recall)
+    of the corpus before any scoring work."""
+    planes = hyperplanes(n_planes, dim)
+    qbits = [
+        "1" if sum(q * p for q, p in zip(query_vec, pl)) >= 0 else "0"
+        for pl in planes
+    ]
+    per = n_planes // n_bands
+    qkeys = [
+        f"{b}:" + "".join(qbits[b * per:(b + 1) * per]) for b in range(n_bands)
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = df.where(
+        F.arrays_overlap(
+            lsh_band_keys(F.col(vec_col), planes, n_bands),
+            F.array(*[F.lit(s) for s in qkeys]),
+        )
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk_sql(
+    query_vec: Sequence[float],
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+) -> str:
+    planes = hyperplanes(n_planes, dim)
+    qbits = [
+        "1" if sum(q * p for q, p in zip(query_vec, pl)) >= 0 else "0"
+        for pl in planes
+    ]
+    per = n_planes // n_bands
+    qkeys = [
+        f"{b}:" + "".join(qbits[b * per:(b + 1) * per]) for b in range(n_bands)
+    ]
+    keys = lsh_band_keys_sql(vec_col, planes, n_bands)
+    qset = "[" + ", ".join(f"'{s}'" for s in qkeys) + "]"
+    overlap = (
+        "len(list_intersect([" + ", ".join(keys) + f"], {qset})) > 0"
+    )
+    q = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]"
+    return (
+        f"SELECT {id_col}, round({cosine_sql(vec_col, q)}, 6) AS cos_sim "
+        f"FROM {table} WHERE {overlap} "
+        f"ORDER BY cos_sim DESC, {id_col} ASC LIMIT {k}"
+    )
+
+
+# ------------------------------------------- embedding near-dup pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cosine >= threshold) found
+    via the banded LSH buckets: explode band keys → self-join on key →
+    distinct candidate pairs → exact cosine verification. The join
+    shuffles (short band key, id) only; vectors are re-read for the
+    verify join, never carried through the candidate shuffle."""
+    planes = hyperplanes(n_planes, dim)
+    keyed = df.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col(vec_col), planes, n_bands)).alias("bk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, "bk")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_neardup_pairs_sql(
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+) -> str:
+    planes = hyperplanes(n_planes, dim)
+    keys = lsh_band_keys_sql(vec_col, planes, n_bands)
+    keys_arr = "[" + ", ".join(keys) + "]"
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, unnest({keys_arr}) AS bk FROM {table}
+), cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM keyed a JOIN keyed b USING (bk)
+  WHERE a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, round({cosine_sql('va.' + vec_col, 'vb.' + vec_col)}, 6) AS cos_sim
+FROM cand
+JOIN {table} va ON va.{id_col} = cand.id_a
+JOIN {table} vb ON vb.{id_col} = cand.id_b
+WHERE round({cosine_sql('va.' + vec_col, 'vb.' + vec_col)}, 6) >= {threshold}
+"""

@@ -51,6 +51,10 @@ def _orient(m) -> int:
 
 _IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
 
+#: optional debug hook: set to a list to collect (kind, pos, info)
+#: events during extraction (used by the golden-parity fitting tools).
+TRACE: Optional[list] = None
+
 
 class _Extractor:
     def __init__(self, doc: PdfDocument) -> None:
@@ -94,6 +98,10 @@ class _Extractor:
         text = ""
         output = ""
         m_prev: Optional[list] = None  # full tm·cm at last separator check
+        m_show: Optional[list] = None  # full tm·cm at last text show —
+        # survives cm/BT/ET, the comparison base for the sandwich tier
+        pending_t2 = False  # a cm reset happened; evaluate the sandwich
+        # tier at the NEXT show (the fitted deltas are show-to-show)
 
         def check_sep() -> None:
             """Insert "\\n"/" " based on the positional jump since the last
@@ -102,10 +110,11 @@ class _Extractor:
             repositioning starts a fresh comparison base), which is what
             reproduces the reference goldens (fitted against
             exports/Snack_planogram_12_05_2025_parsed.json)."""
-            nonlocal text, output, m_prev
+            nonlocal text, output, m_prev, pending_t2
             m = _mult(tm, cm)
             if m_prev is None:
                 m_prev = m
+                pending_t2 = True
                 return
             o = _orient(m)
             dx = m[4] - m_prev[4]
@@ -121,6 +130,11 @@ class _Extractor:
                 nl, sp = dx > 0.8 * f, abs(dx) < f * 0.3 and abs(dy) > sw * f * 15
             else:  # 270
                 nl, sp = dx < -0.8 * f, abs(dx) < f * 0.3 and abs(dy) > sw * f * 15
+            if TRACE is not None:
+                TRACE.append(("check", len(output) + len(text),
+                              dict(o=o, dx=round(dx, 2), dy=round(dy, 2),
+                                   f=round(f, 2), sw=round(sw, 3),
+                                   nl=nl, sp=sp)))
             try:
                 if nl:
                     if (output + text)[-1] != "\n":
@@ -131,14 +145,60 @@ class _Extractor:
                 pass
             m_prev = m
 
-        def show(raw) -> None:
+        def check_sandwich() -> None:
+            """Sandwich tier: the tier-1 memo was reset by a `cm` since
+            the last show (table cells arrive as `q cm BT ... ET Q`
+            sandwiches), so measure the show-to-show jump instead.
+            Fitted against the golden
+            exports/Snack_planogram_12_05_2025_parsed.json: newline
+            jumps are >=280 device units on the line axis while dense
+            table-cell hops stay <=221 (absolute threshold 250); space
+            gaps are >=203*sw*f on the reading axis while intra-word
+            hops stay <=126*sw*f (normalized threshold 160)."""
             nonlocal text
+            m = _mult(tm, cm)
+            o = _orient(m)
+            dx = m[4] - m_show[4]
+            dy = m[5] - m_show[5]
+            if o in (90, 270):
+                d_line, d_read = dx, dy
+            else:
+                d_line, d_read = dy, dx
+            k = math.sqrt(abs(m[0] * m[3]) + abs(m[1] * m[2]))
+            f = font_size * k
+            sw = (font.space_width / 1000.0) if font else 0.25
+            last = (output + text)[-1:]
+            if last and last not in " \n":
+                if abs(d_line) > 250:
+                    text += "\n"
+                elif abs(d_line) < 0.3 * f and abs(d_read) > 160 * sw * f:
+                    text += " "
+
+        def show(raw) -> None:
+            nonlocal text, m_show, pending_t2
+            if pending_t2 and m_show is not None:
+                check_sandwich()
+            pending_t2 = False
+            m_show = _mult(tm, cm)
             if isinstance(raw, bytes) and font is not None:
-                text += font.decode(raw)
+                piece = font.decode(raw)
             elif isinstance(raw, bytes):
-                text += raw.decode("latin-1", errors="replace")
+                piece = raw.decode("latin-1", errors="replace")
+            else:
+                return
+            if TRACE is not None:
+                TRACE.append(("show", len(output) + len(text), {
+                    "piece": piece, "m": _mult(tm, cm),
+                    "fs": font_size,
+                    "sw": (font.space_width / 1000.0) if font else 0.25,
+                }))
+            text += piece
 
         for operands, op in tokenize(content):
+            if TRACE is not None and op in (b"BT", b"ET", b"cm", b"Tm",
+                                            b"Td", b"TD", b"T*", b"Tf"):
+                TRACE.append((op.decode(), len(output) + len(text),
+                              [str(x)[:12] for x in operands]))
             if op == b"BT":
                 tm = list(_IDENTITY)
                 output += text
@@ -242,6 +302,8 @@ class _Extractor:
                     except Exception:
                         pass
                 else:
+                    if TRACE is not None:
+                        TRACE.append(("imgdo", len(output) + len(text), None))
                     try:
                         if (output + text)[-1] != "\n":
                             text += "\n"

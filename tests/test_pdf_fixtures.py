@@ -46,18 +46,8 @@ def plano_text(plano_golden):
 
 
 def test_planogram_text_parity(plano_text, plano_golden):
-    golden = plano_golden["text"]
-    sm = difflib.SequenceMatcher(None, plano_text, golden, autojunk=False)
-    assert sm.ratio() >= 0.999, f"parity ratio {sm.ratio():.4f}"
-    # no wrong characters: every diff must be a golden-side separator insert
-    for tag, i1, i2, j1, j2 in sm.get_opcodes():
-        if tag == "equal":
-            continue
-        assert tag == "insert" and set(golden[j1:j2]) <= {"\n", " "}, (
-            tag,
-            plano_text[i1:i2],
-            golden[j1:j2],
-        )
+    """Byte-identical cleaned text — the north-rule invariant."""
+    assert plano_text == plano_golden["text"]
 
 
 def test_planogram_chunks(plano_text, plano_golden):
