@@ -246,7 +246,13 @@ def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat_ws(",", dedup.minhash_signature(F.col("text"))).alias("sig"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                dedup.minhash_signature(F.col("text")),
+                lambda v: v.cast("string"),
+            ),
+        ).alias("sig"),
     )
 
 

@@ -30,8 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, MapType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, IntegerType, LongType, MapType, StringType,
+    StructField, StructType,
 )
 
 from ..functions.chunk import make_chunk_udf
@@ -50,7 +50,7 @@ EXTRACT_SCHEMA = StructType([
 ])
 
 DOCUMENTS_COLUMNS = [
-    "url", "kind", "text", "chunks", "num_chunks", "metadata",
+    "url", "kind", "text", "chunk_lens", "num_chunks", "metadata",
     "tables_json", "num_tables", "ocr_used", "n_bytes", "error",
 ]
 
@@ -102,6 +102,50 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
 
 
+#: fused-stage output: extraction + T2 clean + T3 chunk in ONE Python
+#: pass (SURVEY §4.3 projection fusion — saves a full Arrow round-trip
+#: over the text at 100 TB scale).  Chunk STRINGS are not materialized:
+#: chunks are a deterministic function of `text` (functions/chunk.py),
+#: so the table stores per-chunk lengths only and consumers re-derive
+#: the strings with the chunk UDF when needed — shipping chunk copies
+#: would double the bytes through every shuffle/sink for no
+#: information gain.
+FUSED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("chunk_lens", ArrayType(IntegerType())),
+    StructField("num_chunks", IntegerType()),
+    StructField("metadata", MapType(StringType(), StringType())),
+    StructField("tables_json", StringType()),
+    StructField("num_tables", IntegerType()),
+    StructField("ocr_used", BooleanType()),
+    StructField("n_bytes", LongType()),
+    StructField("error", StringType()),
+])
+
+
+def _make_fused_batches(chunk_size: int, chunk_overlap: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.chunk import chunk_text
+        from ..functions.clean import clean_text
+
+        cols = [f.name for f in FUSED_SCHEMA.fields]
+        for b in batches:
+            rows = []
+            for url, payload in zip(b["url"], b["html"]):
+                r = extract_one(payload)
+                text = clean_text(r.pop("raw_text"))
+                chunks = chunk_text(text, chunk_size, chunk_overlap)
+                r.update(url=url, text=text,
+                         chunk_lens=[len(c) for c in chunks],
+                         num_chunks=len(chunks), ocr_used=False)
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
 def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
     """Skew-defusing repartition: hash(url)+salt, per the north rule.
 
@@ -118,19 +162,32 @@ def extract_documents(
     partitions: Optional[int] = None,
     chunk_size: int = 1000,
     chunk_overlap: int = 200,
+    fused: bool = True,
 ) -> DataFrame:
-    """pages → documents DataFrame (lazy; no side effects)."""
+    """pages → documents DataFrame (lazy; no side effects).
+
+    fused=True (default) runs extraction + clean + chunk in ONE
+    mapInPandas stage — a single Arrow round-trip over the payloads.
+    fused=False keeps T2 as a native regexp chain + T3 as a separate
+    pandas UDF (the operator-granular path the oracle queries check;
+    both paths produce identical rows — tests assert it).
+    """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
-    extracted = salted_repartition(
-        pages.select("url", "html"), partitions
-    ).mapInPandas(_extract_batches, EXTRACT_SCHEMA)
+    salted = salted_repartition(pages.select("url", "html"), partitions)
 
+    if fused:
+        return salted.mapInPandas(
+            _make_fused_batches(chunk_size, chunk_overlap), FUSED_SCHEMA
+        ).select(*DOCUMENTS_COLUMNS)
+
+    extracted = salted.mapInPandas(_extract_batches, EXTRACT_SCHEMA)
     chunk_udf = make_chunk_udf(chunk_size, chunk_overlap)
     return (
         extracted
         .withColumn("text", clean_text_col(F.col("raw_text")))
         .withColumn("chunks", chunk_udf(F.col("text")))
+        .withColumn("chunk_lens", F.transform("chunks", F.length))
         .withColumn("num_chunks", F.size("chunks"))
         .withColumn("ocr_used", F.lit(False))
         .select(*DOCUMENTS_COLUMNS)

@@ -91,47 +91,86 @@ def word_shingles_sql(col: str, n: int = 5) -> str:
 N_HASHES = 16
 N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 4
 
+#: universal-hash modulus (Mersenne prime 2^31-1): products a_j*h stay
+#: below 2^62, so the arithmetic never overflows int64 in any engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _perm_coeffs(n_hashes: int = N_HASHES) -> List[tuple]:
+    """Deterministic (a_j, b_j) pairs derived from md5 — identical on
+    every host/engine, no RNG state to ship."""
+    import hashlib
+
+    out = []
+    for j in range(n_hashes):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) % (
+            MINHASH_PRIME - 1
+        ) + 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(col: Column, shingle_n: int = 5) -> Column:
+    """array<bigint> of base hashes, ONE md5 per shingle: the top 60
+    bits of md5 reduced mod the Mersenne prime."""
+    return F.transform(
+        word_shingles(col, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long") % MINHASH_PRIME,
+    )
+
+
+def shingle_hashes_sql(col: str, shingle_n: int = 5) -> str:
+    sh = word_shingles_sql(col, shingle_n)
+    return (
+        f"list_transform({sh}, s -> "
+        f"CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME})"
+    )
+
 
 def minhash_signature(col: Column, n_hashes: int = N_HASHES,
                       shingle_n: int = 5) -> Column:
-    """k-permutation minhash over word shingles.
+    """k-permutation minhash as array<bigint>.
 
-    Permutation j = lexicographic order of substr(md5(j || '|' || s),
-    1, 16); the signature element is the minimum — a 16-hex-char
-    string. md5 keys make the signature engine-portable (DuckDB twin
-    computes the identical value). NULL-free: empty shingle set → all
-    'ffffffffffffffff' sentinels.
+    Classic universal hashing over ONE base hash per shingle:
+    sig_j = min over shingles of (a_j*h + b_j) mod P. Computed in a
+    single `aggregate` fold so md5 runs exactly once per shingle (16x
+    less hash work than hashing per permutation), all JVM-side.
+    Empty shingle set -> all-P sentinel signature.
     """
-    sh = word_shingles(col, shingle_n)
-
-    def perm_min(j: int) -> Column:
-        # NOTE: the inner lambda must take exactly ONE parameter —
-        # F.transform dispatches on lambda arity, and a two-arg lambda
-        # (e.g. `lambda s, j=j`) would receive the ARRAY INDEX as its
-        # second argument, silently replacing the captured seed.
-        prefix = F.lit(f"{j}|")
-        return F.coalesce(
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s: F.substring(F.md5(F.concat(prefix, s)), 1, 16),
-                )
+    coeffs = _perm_coeffs(n_hashes)
+    A = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    B = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    P = F.lit(MINHASH_PRIME).cast("long")
+    init = F.array_repeat(P, n_hashes)
+    return F.aggregate(
+        shingle_hashes(col, shingle_n),
+        init,
+        # outer lambda: (accumulator, shingle hash); inner lambda uses
+        # the two-arg (element, index) form of transform DELIBERATELY
+        # to pick the per-permutation coefficients.
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, j: F.least(
+                m,
+                (F.element_at(A, j + 1) * h + F.element_at(B, j + 1)) % P,
             ),
-            F.lit("f" * 16),
-        )
-
-    return F.array(*[perm_min(j) for j in range(n_hashes)])
+        ),
+    )
 
 
 def minhash_signature_sql(col: str, n_hashes: int = N_HASHES,
                           shingle_n: int = 5) -> str:
-    sh = word_shingles_sql(col, shingle_n)
+    """DuckDB twin (expression form). Evaluates the base-hash array
+    per permutation — fine for oracle-scale data."""
+    coeffs = _perm_coeffs(n_hashes)
+    hs = shingle_hashes_sql(col, shingle_n)
+    P = MINHASH_PRIME
     elems = [
-        (
-            f"coalesce(list_min(list_transform({sh}, "
-            f"s -> substring(md5('{j}|' || s), 1, 16))), '{'f' * 16}')"
-        )
-        for j in range(n_hashes)
+        f"coalesce(list_min(list_transform({hs}, "
+        f"h -> ({a} * h + {b}) % {P})), {P})"
+        for a, b in coeffs
     ]
     return "[" + ", ".join(elems) + "]"
 
@@ -144,7 +183,10 @@ def lsh_band_keys(sig: Column, n_bands: int = N_BANDS,
         F.concat_ws(
             ":",
             F.lit(str(b)),
-            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))),
+            F.md5(F.concat_ws("|", F.slice(
+                F.transform(sig, lambda v: v.cast("string")),
+                b * rows_per_band + 1, rows_per_band,
+            ))),
         )
         for b in range(n_bands)
     ]
@@ -155,30 +197,46 @@ def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 5,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    Plan shape: signature (map-only) → posexplode band keys → self-join
-    on band key (shuffle on 16-byte keys) → distinct pairs. Bucket
-    sizes are bounded by collision structure, not corpus size; the
-    distinct dedups pairs colliding in multiple bands.
+    Plan shape: signature (map-only, one md5 per shingle) → explode
+    band keys → groupBy band key collecting member ids → emit in-bucket
+    pairs with a native nested transform → distinct. ONE shuffle on
+    16-byte keys; signatures are computed exactly once (no self-join
+    recomputation), and full texts never cross the wire. Docs with no
+    shingles (< shingle_n words) are dropped first — at web scale the
+    empty-shingle sentinel bucket would otherwise go quadratic.
     """
-    sig = df.select(
+    has_shingles = (F.trim(F.col(text_col)) != "") & (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
+    )
+    sig = df.where(has_shingles).select(
         F.col(id_col),
         lsh_band_keys(minhash_signature(F.col(text_col), shingle_n=shingle_n))
         .alias("bands"),
     )
     exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, "band_key")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    buckets = (
+        exploded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    # two-arg (element, index) transform: pair each id
+                    # with every LATER id in the sorted bucket
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 # ------------------------------------------------------------- simhash

@@ -1,0 +1,384 @@
+"""X1: lattice table detection from vector rules (camelot-equivalent).
+
+Geometric re-expression of what camelot's lattice flavour does with
+OpenCV over a rasterized page (reference:
+/root/reference/src/table_extractor.py:138-200; camelot-py is public
+MIT source). The raster pipeline's observable behavior, reproduced
+geometrically and fitted against the golden
+exports/Snack_planogram_12_05_2025_parsed.json:
+
+- only long solid dark rules survive (erosion kernel = page_dim /
+  line_scale; dashed/near-white strokes vanish — handled in layout.py),
+- connected rule components form table regions; a component whose
+  bbox lies inside another's is not a separate table (cv2
+  RETR_EXTERNAL suppresses contours nested in a ring's hole),
+- regions with <= 4 rule crossings are not tables (camelot find_joints),
+- the cell grid = clustered joint coordinates EXTENDED BY THE REGION
+  BBOX EDGES (camelot _generate_columns_and_rows),
+- text lines are pdfminer-style: consecutive-in-stream glyph runs
+  merge while vertically aligned and horizontally within char_margin;
+  a space is injected at gaps > word_margin (LAParams defaults used by
+  camelot: char_margin 1.0, word_margin 0.1, line_overlap 0.5),
+- each line lands in the row containing its vertical midpoint and the
+  column containing its x0; lines outside every row fall into the
+  bottom-right cell (camelot's cells[-1][-1] indexing quirk),
+- cell text is the concatenation of its lines' texts (strip_text='\n')
+  in top-down / left-right order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..pdf.layout import Seg
+
+LINE_SCALE = 15          # camelot line_scale: min rule len = dim/scale
+SNAP_TOL = 2.0           # cluster/crossing tolerance (pt; ~raster dilation)
+CHAR_MARGIN = 2.0        # pdfminer LAParams.char_margin default
+WORD_MARGIN = 0.1        # pdfminer LAParams.word_margin
+LINE_TOL_FRAC = 0.5      # baseline delta < frac*size -> same line
+
+
+# ---------------------------------------------------------- text lines
+
+
+def group_lines(nruns: List[dict]) -> List[dict]:
+    """pdfminer-style text lines from normalized runs, in STREAM order
+    (pdfminer groups consecutive chars; sorting first would interleave
+    distant same-baseline cells).  Returns dicts
+    (x0, x1, y, size, text)."""
+    lines: List[dict] = []
+    cur: Optional[dict] = None
+    for r in nruns:
+        w_cur = max(r["x1"] - r["x0"], 0.1)
+        if cur is not None:
+            w_prev = max(cur["last_w"], 0.1)
+            same_row = abs(r["y"] - cur["y"]) <= LINE_TOL_FRAC * max(
+                r["size"], cur["size"])
+            gap = r["x0"] - cur["x1"]
+            hdist = max(gap, cur["x0"] - r["x1"], 0.0)
+            if same_row and hdist < CHAR_MARGIN * max(w_prev, w_cur):
+                if gap > WORD_MARGIN * max(w_cur, r["size"]):
+                    cur["text"] += " "
+                cur["text"] += r["text"]
+                cur["x1"] = max(cur["x1"], r["x1"])
+                cur["x0"] = min(cur["x0"], r["x0"])
+                cur["size"] = max(cur["size"], r["size"])
+                cur["last_w"] = w_cur
+                continue
+        if cur is not None:
+            cur.pop("last_w", None)
+            lines.append(cur)
+        cur = {"x0": r["x0"], "x1": r["x1"], "y": r["y"],
+               "size": r["size"], "text": r["text"], "last_w": w_cur}
+    if cur is not None:
+        cur.pop("last_w", None)
+        lines.append(cur)
+    return lines
+
+
+# ------------------------------------------------------------- rules
+
+
+def _cluster(vals: List[float], tol: float = SNAP_TOL) -> List[float]:
+    """1-D merge of sorted values (camelot merge_close_lines shape)."""
+    out: List[float] = []
+    for v in sorted(vals):
+        if out and abs(v - out[-1]) <= tol:
+            out[-1] = (out[-1] + v) / 2.0
+        else:
+            out.append(v)
+    return out
+
+
+def _merge_collinear(segs: List[Tuple[float, float, float]],
+                     tol: float = SNAP_TOL) -> List[Tuple[float, float, float]]:
+    """Merge overlapping/adjacent (pos, lo, hi) runs sharing pos."""
+    by_pos: Dict[float, List[Tuple[float, float]]] = {}
+    for pos, lo, hi in segs:
+        by_pos.setdefault(pos, []).append((lo, hi))
+    out = []
+    for pos, ivs in by_pos.items():
+        ivs.sort()
+        cur_lo, cur_hi = ivs[0]
+        for lo, hi in ivs[1:]:
+            if lo <= cur_hi + tol:
+                cur_hi = max(cur_hi, hi)
+            else:
+                out.append((pos, cur_lo, cur_hi))
+                cur_lo, cur_hi = lo, hi
+        out.append((pos, cur_lo, cur_hi))
+    return out
+
+
+def _merge_rects(rects: List[tuple], tol: float = 0.5) -> List[tuple]:
+    """Union touching/overlapping filled rects (the raster's H mask is
+    2-D connected: stacked cell-background fills become one thick
+    band)."""
+    rects = list(rects)
+    merged = True
+    while merged:
+        merged = False
+        out: List[tuple] = []
+        for r in rects:
+            for i, o in enumerate(out):
+                if (r[0] <= o[2] + tol and o[0] <= r[2] + tol
+                        and r[1] <= o[3] + tol and o[1] <= r[3] + tol):
+                    out[i] = (min(r[0], o[0]), min(r[1], o[1]),
+                              max(r[2], o[2]), max(r[3], o[3]))
+                    merged = True
+                    break
+            else:
+                out.append(r)
+        rects = out
+    return rects
+
+
+def detect_rules(nsegs: List[Seg], min_h_len: float, min_v_len: float,
+                 nrects: Optional[List[tuple]] = None):
+    """(horizontal, vertical) rule lists.
+
+    Each rule is (center, span_lo, span_hi, int_lo, int_hi):
+    - H: center = y, span = x extent, interval = y thickness
+    - V: center = x, span = y extent, interval = x thickness
+    Thin strokes have ~zero thickness; FILLED RECTS wide/tall enough to
+    survive camelot's raster morphology enter as thick bands (their
+    crossings with perpendicular rules produce the joints the raster
+    pipeline sees). Per-axis length filter = camelot's kernel
+    (image_width/scale for H, image_height/scale for V)."""
+    hs, vs = [], []
+    for s in nsegs:
+        if abs(s.y0 - s.y1) <= SNAP_TOL and abs(s.x0 - s.x1) > 0:
+            hs.append(((s.y0 + s.y1) / 2, min(s.x0, s.x1), max(s.x0, s.x1)))
+        elif abs(s.x0 - s.x1) <= SNAP_TOL and abs(s.y0 - s.y1) > 0:
+            vs.append(((s.x0 + s.x1) / 2, min(s.y0, s.y1), max(s.y0, s.y1)))
+
+    def snap(items):
+        centers = _cluster([p for p, _, _ in items])
+
+        def nearest(v):
+            return min(centers, key=lambda c: abs(c - v))
+
+        return [(nearest(p), lo, hi) for p, lo, hi in items]
+
+    hs = _merge_collinear(snap(hs)) if hs else []
+    vs = _merge_collinear(snap(vs)) if vs else []
+    hs = [(p, lo, hi, p, p) for p, lo, hi in hs if hi - lo >= min_h_len]
+    vs = [(p, lo, hi, p, p) for p, lo, hi in vs if hi - lo >= min_v_len]
+    for x0, y0, x1, y1 in _merge_rects(nrects or []):
+        if x1 - x0 >= min_h_len:
+            hs.append(((y0 + y1) / 2, x0, x1, y0, y1))
+        if y1 - y0 >= min_v_len:
+            vs.append(((x0 + x1) / 2, y0, y1, x0, x1))
+    return hs, vs
+
+
+def _clip_rules(hs, vs, page_w: float, page_h: float,
+                min_h_len: float, min_v_len: float):
+    """Clip rule spans to the page box (the raster ends at the page
+    edge) and re-apply the length filter."""
+    out_h = []
+    for y, lo, hi, i0, i1 in hs:
+        lo, hi = max(lo, 0.0), min(hi, page_w)
+        if 0 <= y <= page_h and hi - lo >= min_h_len:
+            out_h.append((y, lo, hi, max(i0, 0.0), min(i1, page_h)))
+    out_v = []
+    for x, lo, hi, i0, i1 in vs:
+        lo, hi = max(lo, 0.0), min(hi, page_h)
+        if 0 <= x <= page_w and hi - lo >= min_v_len:
+            out_v.append((x, lo, hi, max(i0, 0.0), min(i1, page_w)))
+    return out_h, out_v
+
+
+def _crossing(h, v, tol: float = SNAP_TOL):
+    """Joint of an H rule and a V rule, or None.
+
+    Overlap test on both axes using spans AND thickness intervals;
+    the joint sits at the center of the overlap region (what a raster
+    AND of the two line masks produces)."""
+    hy, hx0, hx1, hy0, hy1 = h
+    vx, vy0, vy1, vx0, vx1 = v
+    ox0, ox1 = max(hx0, vx0 - tol), min(hx1, vx1 + tol)
+    if ox0 > ox1:
+        return None
+    oy0, oy1 = max(vy0, hy0 - tol), min(vy1, hy1 + tol)
+    if oy0 > oy1:
+        return None
+    return ((ox0 + ox1) / 2, (oy0 + oy1) / 2)
+
+
+def _components(hs, vs, tol: float = SNAP_TOL):
+    """Connected components over rules (touch/intersect => same region)."""
+    n = len(hs) + len(vs)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for i, h in enumerate(hs):
+        for j, v in enumerate(vs):
+            if _crossing(h, v, tol) is not None:
+                union(i, len(hs) + j)
+    comps: Dict[int, Tuple[list, list]] = {}
+    for i in range(len(hs)):
+        comps.setdefault(find(i), ([], []))[0].append(hs[i])
+    for j in range(len(vs)):
+        comps.setdefault(find(len(hs) + j), ([], []))[1].append(vs[j])
+    return [c for c in comps.values() if c[0] or c[1]]
+
+
+def _bbox(comp_h, comp_v):
+    xs, ys = [], []
+    for y, lo, hi, y0i, y1i in comp_h:
+        ys.extend((y0i, y1i))
+        xs.extend((lo, hi))
+    for x, lo, hi, x0i, x1i in comp_v:
+        xs.extend((x0i, x1i))
+        ys.extend((lo, hi))
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _joints(comp_h, comp_v, tol: float = SNAP_TOL):
+    jx, jy = [], []
+    for h in comp_h:
+        for v in comp_v:
+            c = _crossing(h, v, tol)
+            if c is not None:
+                jx.append(c[0])
+                jy.append(c[1])
+    return jx, jy
+
+
+# ------------------------------------------------------------- tables
+
+
+def detect_tables(nruns: List[dict], nsegs: List[Seg],
+                  page_w: float, page_h: float,
+                  nrects: Optional[List[tuple]] = None) -> List[dict]:
+    """All lattice tables on a (normalized) page, top of page first.
+
+    Returns dicts {rows: [[str]], n_rows, n_cols, whitespace, accuracy,
+    y_top}."""
+    hs, vs = detect_rules(nsegs, page_w / LINE_SCALE, page_h / LINE_SCALE,
+                          nrects)
+    hs, vs = _clip_rules(hs, vs, page_w, page_h,
+                         page_w / LINE_SCALE, page_h / LINE_SCALE)
+    if not hs or not vs:
+        return []
+    comps = _components(hs, vs)
+    boxes = [_bbox(ch, cv) for ch, cv in comps]
+    # RETR_EXTERNAL nesting suppression: a region inside another's bbox
+    # is not a separate table
+    keep = []
+    for i, (ch, cv) in enumerate(comps):
+        bx = boxes[i]
+        nested = any(
+            j != i
+            and boxes[j][0] <= bx[0] and boxes[j][1] <= bx[1]
+            and boxes[j][2] >= bx[2] and boxes[j][3] >= bx[3]
+            for j in range(len(comps))
+        )
+        if not nested:
+            keep.append(i)
+
+    lines = group_lines(nruns)
+    tables = []
+    for i in keep:
+        comp_h, comp_v = comps[i]
+        jx, jy = _joints(comp_h, comp_v)
+        if len(jx) <= 4:  # camelot: regions with <=4 joints are not tables
+            continue
+        x0, y0, x1, y1 = boxes[i]
+        col_bounds = _cluster(jx + [x0, x1])
+        row_bounds = _cluster(jy + [y0, y1])
+        if len(row_bounds) < 2 or len(col_bounds) < 2:
+            continue
+        n_rows, n_cols = len(row_bounds) - 1, len(col_bounds) - 1
+
+        # cell borders (camelot Table.set_edges): cell(r,c) has a left
+        # border iff some V rule sits at col_bounds[c] covering the
+        # row's span; top border likewise from H rules.  Cells without
+        # a left/top border are spanning cells — their text shifts
+        # left/up (camelot Lattice._reduce_index, shift_text=['l','t']).
+        def has_v(x_at: float, y_a: float, y_b: float) -> bool:
+            mid = (y_a + y_b) / 2
+            return any(
+                x0i - SNAP_TOL <= x_at <= x1i + SNAP_TOL
+                and y_lo - SNAP_TOL <= mid <= y_hi + SNAP_TOL
+                for x, y_lo, y_hi, x0i, x1i in comp_v
+            )
+
+        def has_h(y_at: float, x_a: float, x_b: float) -> bool:
+            mid = (x_a + x_b) / 2
+            return any(
+                y0i - SNAP_TOL <= y_at <= y1i + SNAP_TOL
+                and x_lo - SNAP_TOL <= mid <= x_hi + SNAP_TOL
+                for y, x_lo, x_hi, y0i, y1i in comp_h
+            )
+
+        left_border = [
+            [has_v(col_bounds[c], row_bounds[r], row_bounds[r + 1])
+             for c in range(n_cols)]
+            for r in range(n_rows)
+        ]
+        top_border = [
+            [has_h(row_bounds[r], col_bounds[c], col_bounds[c + 1])
+             for c in range(n_cols)]
+            for r in range(n_rows)
+        ]
+
+        grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+        assigned = 0
+        total_lines = 0
+        # text fully inside the region bbox, top-down then left-right
+        in_box = [
+            ln for ln in lines
+            if ln["x0"] >= x0 - SNAP_TOL and ln["x1"] <= x1 + SNAP_TOL
+            and ln["y"] - ln["size"] >= y0 - SNAP_TOL
+            and ln["y"] <= y1 + SNAP_TOL
+        ]
+        in_box.sort(key=lambda l: (l["y"], l["x0"]))
+        for ln in in_box:
+            total_lines += 1
+            y_mid = ln["y"] - 0.3 * ln["size"]
+            r_idx = c_idx = -1
+            for r in range(n_rows):
+                if row_bounds[r] <= y_mid <= row_bounds[r + 1]:
+                    r_idx = r
+                    break
+            if r_idx != -1:
+                for c in range(n_cols):
+                    if col_bounds[c] <= ln["x0"] <= col_bounds[c + 1]:
+                        c_idx = c
+                        break
+                if c_idx == -1:
+                    c_idx = 0 if ln["x0"] < col_bounds[0] else n_cols - 1
+                # spanning-cell shift: left, then up
+                while c_idx > 0 and not left_border[r_idx][c_idx]:
+                    c_idx -= 1
+                while r_idx > 0 and not top_border[r_idx][c_idx]:
+                    r_idx -= 1
+                assigned += 1
+            # r_idx == -1 -> camelot's cells[-1][-1] quirk
+            grid[r_idx][c_idx] += ln["text"].replace("\n", "")
+        n_cells = n_rows * n_cols
+        empty = sum(1 for row in grid for c in row if not c)
+        tables.append({
+            "rows": grid,
+            "n_rows": n_rows,
+            "n_cols": n_cols,
+            "whitespace": round(100.0 * empty / n_cells, 2) if n_cells else 0.0,
+            "accuracy": round(100.0 * assigned / total_lines, 2)
+            if total_lines else 0.0,
+            "y_top": row_bounds[0],
+        })
+    tables.sort(key=lambda t: t["y_top"])
+    return tables

@@ -1,0 +1,351 @@
+"""Page geometry: positioned text runs + vector stroke segments.
+
+A second, layout-oriented content-stream interpreter (the first,
+text.py, is fitted to pypdf's reading-order output; this one feeds the
+table detectors).  Produces per page:
+
+- text runs: device-space quads (start/end of the shown string on its
+  baseline) + decoded text + effective font size,
+- stroke segments: path construction ops (m/l/re, h) flushed at
+  painting ops (S/s/B/b/f when rule-thin), transformed to device space,
+- page rotation normalization: the dominant text orientation defines
+  reading coordinates (x' = reading direction, y' = top-to-bottom), the
+  same normalization camelot achieves by physically rotating the page
+  before processing (camelot.handlers, public).
+
+Reference parity target: the tables in
+/root/reference/exports/Snack_planogram_12_05_2025_parsed.json, which
+the reference produced via camelot lattice
+(/root/reference/src/table_extractor.py:138-200).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .content import tokenize
+from .document import PdfDocument
+from .fonts import Font, build_font
+from .objects import StreamObject
+from .text import _IDENTITY, _mult, _orient
+
+
+@dataclass
+class Run:
+    """One shown string: baseline start→end in device space."""
+
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    text: str
+    size: float     # effective (device) font size
+    o: int          # orientation at show time
+
+
+@dataclass
+class Seg:
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+
+
+def _tx(m, x, y) -> Tuple[float, float]:
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+class _GeomExtractor:
+    def __init__(self, doc: PdfDocument) -> None:
+        self.doc = doc
+        self._font_cache: Dict[int, Font] = {}
+        self.runs: List[Run] = []
+        self.segs: List[Seg] = []
+        self.fill_rects: List[Tuple[float, float, float, float]] = []
+
+    def _fonts_for(self, resources) -> Dict[str, Font]:
+        r = self.doc.resolve
+        res = r(resources)
+        if isinstance(res, StreamObject):
+            res = res.dict
+        fonts: Dict[str, Font] = {}
+        if isinstance(res, dict):
+            fdict = r(res.get("Font"))
+            if isinstance(fdict, dict):
+                for name, fref in fdict.items():
+                    fd = r(fref)
+                    if isinstance(fd, StreamObject):
+                        fd = fd.dict
+                    if isinstance(fd, dict):
+                        key = id(fd)
+                        if key not in self._font_cache:
+                            try:
+                                self._font_cache[key] = build_font(self.doc, fd)
+                            except Exception:
+                                self._font_cache[key] = Font()
+                        fonts[str(name)] = self._font_cache[key]
+        return fonts
+
+    def extract(self, content: bytes, resources, depth: int = 0,
+                init: Optional[tuple] = None) -> None:
+        doc = self.doc
+        fonts = self._fonts_for(resources)
+
+        tm = list(_IDENTITY)
+        stack: List[tuple] = []
+        font: Optional[Font] = None
+        font_size = 12.0
+        char_scale = 1.0
+        TL = 0.0
+        if init is not None:
+            # Form XObject recursion INHERITS the caller's graphics
+            # state (PDF 32000 §8.10.1) — notably the dash pattern and
+            # colors, which gate rule detection
+            cm, stroke_lum, fill_lum, dashed = init
+            cm = list(cm)
+        else:
+            cm = list(_IDENTITY)
+            stroke_lum = 0.0   # stroking luminance (0=black); raster-equiv:
+            fill_lum = 0.0     # light marks threshold out in binarization
+            dashed = False     # dashed strokes rasterize as short runs that
+            # camelot's long-kernel erosion destroys — never table rules
+        path: List[List[Tuple[float, float]]] = []  # subpaths of points
+        cur: List[Tuple[float, float]] = []
+
+        def flush_path(stroke: bool, fill: bool) -> None:
+            nonlocal path, cur
+            if cur:
+                path.append(cur)
+                cur = []
+            lum = stroke_lum if stroke else fill_lum
+            if lum > 0.85:  # near-white marks vanish in camelot's binarization
+                path = []
+                return
+            if stroke and dashed:
+                path = []
+                return
+            for sub in path:
+                pts = [_tx(cm, x, y) for x, y in sub]
+                if stroke:
+                    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+                        self.segs.append(Seg(ax, ay, bx, by))
+                elif fill and pts:
+                    # filled areas: thin ones act as rules; wider
+                    # bands survive camelot's raster morphology as
+                    # thick line regions whose V-crossings make joints
+                    xs = [p[0] for p in pts]
+                    ys = [p[1] for p in pts]
+                    x0, x1 = min(xs), max(xs)
+                    y0, y1 = min(ys), max(ys)
+                    if (x1 - x0) < 2.5 or (y1 - y0) < 2.5:
+                        self.segs.append(Seg(x0, (y0 + y1) / 2,
+                                             x1, (y0 + y1) / 2)
+                                         if (y1 - y0) < 2.5 else
+                                         Seg((x0 + x1) / 2, y0,
+                                             (x0 + x1) / 2, y1))
+                    else:
+                        self.fill_rects.append((x0, y0, x1, y1))
+            path = []
+
+        def advance_units(raw: bytes) -> float:
+            """String displacement in unscaled text units."""
+            if font is None:
+                return len(raw) * 500.0
+            return font.text_width(raw)
+
+        def show(raw, tj_offset: float = 0.0) -> None:
+            nonlocal tm
+            if not isinstance(raw, bytes):
+                return
+            m = _mult(tm, cm)
+            adv = advance_units(raw) / 1000.0 * font_size * char_scale
+            x0d, y0d = m[4], m[5]
+            x1d, y1d = _tx(m, adv, 0.0)
+            k = math.sqrt(abs(m[0] * m[3]) + abs(m[1] * m[2]))
+            txt = font.decode(raw) if font is not None else raw.decode(
+                "latin-1", "replace")
+            if txt:
+                self.runs.append(Run(x0d, y0d, x1d, y1d, txt,
+                                     font_size * k, _orient(m)))
+            tm = _mult([1, 0, 0, 1, adv, 0], tm)
+
+        for operands, op in tokenize(content):
+            try:
+                if op == b"BT":
+                    tm = list(_IDENTITY)
+                elif op == b"q":
+                    stack.append((list(cm), font, font_size, char_scale, TL,
+                                  stroke_lum, fill_lum, dashed))
+                elif op == b"Q":
+                    if stack:
+                        (cm, font, font_size, char_scale, TL,
+                         stroke_lum, fill_lum, dashed) = stack.pop()
+                        cm = list(cm)
+                elif op == b"d":
+                    arr = operands[0] if operands else []
+                    dashed = bool(isinstance(arr, list) and
+                                  any(float(v) > 0 for v in arr))
+                elif op in (b"G", b"RG", b"K", b"g", b"rg", b"k"):
+                    vals = [float(v) for v in operands]
+                    if op in (b"G", b"g"):
+                        lum = vals[0]
+                    elif op in (b"RG", b"rg"):
+                        lum = (0.299 * vals[0] + 0.587 * vals[1]
+                               + 0.114 * vals[2])
+                    else:  # K/k cmyk
+                        lum = 1.0 - min(1.0, vals[3] + 0.3 * (
+                            vals[0] + vals[1] + vals[2]))
+                    if op.isupper() or op in (b"G", b"RG", b"K"):
+                        stroke_lum = lum
+                    else:
+                        fill_lum = lum
+                elif op == b"cm" and len(operands) == 6:
+                    cm = _mult([float(x) for x in operands], cm)
+                elif op == b"Tf" and len(operands) >= 2:
+                    font = fonts.get(str(operands[0]))
+                    font_size = float(operands[1])
+                elif op == b"Tz":
+                    char_scale = float(operands[0]) / 100.0
+                elif op == b"TL":
+                    TL = float(operands[0])
+                elif op == b"Td":
+                    tm = _mult([1, 0, 0, 1, float(operands[0]),
+                                float(operands[1])], tm)
+                elif op == b"TD":
+                    TL = -float(operands[1])
+                    tm = _mult([1, 0, 0, 1, float(operands[0]),
+                                float(operands[1])], tm)
+                elif op == b"Tm" and len(operands) == 6:
+                    tm = [float(x) for x in operands]
+                elif op == b"T*":
+                    tm = _mult([1, 0, 0, 1, 0, -TL], tm)
+                elif op == b"Tj":
+                    if operands:
+                        show(operands[0])
+                elif op == b"'":
+                    tm = _mult([1, 0, 0, 1, 0, -TL], tm)
+                    if operands:
+                        show(operands[0])
+                elif op == b'"':
+                    tm = _mult([1, 0, 0, 1, 0, -TL], tm)
+                    if len(operands) >= 3:
+                        show(operands[2])
+                elif op == b"TJ":
+                    if operands and isinstance(operands[0], list):
+                        for item in operands[0]:
+                            if isinstance(item, bytes):
+                                show(item)
+                            else:
+                                try:
+                                    d = -float(item) / 1000.0 * font_size * char_scale
+                                    tm = _mult([1, 0, 0, 1, d, 0], tm)
+                                except (TypeError, ValueError):
+                                    pass
+                elif op == b"m" and len(operands) >= 2:
+                    if cur:
+                        path.append(cur)
+                    cur = [(float(operands[0]), float(operands[1]))]
+                elif op == b"l" and len(operands) >= 2:
+                    cur.append((float(operands[0]), float(operands[1])))
+                elif op == b"h":
+                    if cur and len(cur) > 1:
+                        cur.append(cur[0])
+                elif op == b"re" and len(operands) >= 4:
+                    x, y, w, h = (float(v) for v in operands[:4])
+                    if cur:
+                        path.append(cur)
+                        cur = []
+                    path.append([(x, y), (x + w, y), (x + w, y + h),
+                                 (x, y + h), (x, y)])
+                elif op in (b"S", b"s", b"B", b"B*", b"b", b"b*"):
+                    flush_path(stroke=True, fill=False)
+                elif op in (b"f", b"F", b"f*"):
+                    flush_path(stroke=False, fill=True)
+                elif op == b"n":
+                    if cur:
+                        path.append(cur)
+                    path, cur = [], []
+                elif op == b"Do" and depth < 4:
+                    r = doc.resolve
+                    res = r(resources)
+                    if isinstance(res, StreamObject):
+                        res = res.dict
+                    xo = None
+                    if isinstance(res, dict) and operands:
+                        xod = r(res.get("XObject"))
+                        if isinstance(xod, dict):
+                            xo = r(xod.get(str(operands[0])))
+                    if isinstance(xo, StreamObject) and r(
+                            xo.dict.get("Subtype")) == "Form":
+                        inner_cm = list(cm)
+                        mtx = r(xo.dict.get("Matrix"))
+                        if isinstance(mtx, list) and len(mtx) == 6:
+                            inner_cm = _mult([float(v) for v in mtx], cm)
+                        inner_res = xo.dict.get("Resources", resources)
+                        try:
+                            self.extract(
+                                doc.stream_data(xo), inner_res, depth + 1,
+                                init=(inner_cm, stroke_lum, fill_lum, dashed),
+                            )
+                        except Exception:
+                            pass
+            except (TypeError, ValueError, IndexError):
+                continue
+
+
+def page_geometry(doc: PdfDocument, page: dict):
+    """(runs, stroke segments, filled rect bboxes) for one page."""
+    ex = _GeomExtractor(doc)
+    content = doc.page_content(page)
+    if content:
+        ex.extract(content, page.get("Resources"))
+    return ex.runs, ex.segs, ex.fill_rects
+
+
+# ------------------------------------------------- rotation normalize
+
+
+def dominant_orientation(runs: List[Run]) -> int:
+    counts: Dict[int, int] = {}
+    for r in runs:
+        counts[r.o] = counts.get(r.o, 0) + len(r.text)
+    return max(counts, key=counts.get) if counts else 0
+
+
+def normalize(runs: List[Run], segs: List[Seg], o: int,
+              rects: Optional[List[Tuple[float, float, float, float]]] = None):
+    """Rotate device coords so text reads +x and lines stack +y (top to
+    bottom).  Returns (norm_runs, norm_segs[, norm_rects]) as plain
+    dict/bbox lists: runs -> (x0, y0down, x1, size, text), y the
+    baseline; rects -> (x0, y0, x1, y1) normalized bboxes."""
+
+    def pt(x, y):
+        if o == 0:
+            return (x, -y)        # PDF y grows up; we want down
+        if o == 180:
+            return (-x, y)
+        if o == 90:
+            return (y, x)         # reading = +y dev, down = +x dev
+        return (-y, -x)           # o == 270
+
+    nruns = []
+    for r in runs:
+        if r.o != o:
+            continue
+        a, b = pt(r.x0, r.y0), pt(r.x1, r.y1)
+        nruns.append({"x0": min(a[0], b[0]), "x1": max(a[0], b[0]),
+                      "y": a[1], "size": r.size, "text": r.text})
+    nsegs = []
+    for s in segs:
+        a, b = pt(s.x0, s.y0), pt(s.x1, s.y1)
+        nsegs.append(Seg(a[0], a[1], b[0], b[1]))
+    if rects is None:
+        return nruns, nsegs
+    nrects = []
+    for x0, y0, x1, y1 in rects:
+        a, b = pt(x0, y0), pt(x1, y1)
+        nrects.append((min(a[0], b[0]), min(a[1], b[1]),
+                       max(a[0], b[0]), max(a[1], b[1])))
+    return nruns, nsegs, nrects

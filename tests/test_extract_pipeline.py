@@ -57,8 +57,9 @@ def test_pipeline_fixture_rows_extract(spark, pages_dir):
     assert plano.metadata["num_pages"] == "7"
     # chunk quirk: ['', text]
     assert plano.num_chunks == golden["num_chunks"] == 2
-    assert plano.chunks[0] == ""
-    assert abs(len(plano.text) - len(golden["text"])) <= 20
+    assert list(plano.chunk_lens) == [len(c) for c in golden["chunks"]]
+    # byte-identical text — the north-rule invariant
+    assert plano.text == golden["text"]
     rei = rows["https://fixtures.local/rei_8727"]
     assert rei.metadata["num_pages"] == "33"
     assert len(rei.text) > 50_000
@@ -70,8 +71,23 @@ def test_chunks_match_reference_algorithm(spark, pages_dir):
 
     pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet")).limit(30)
     for r in extract_documents(pages, partitions=4).collect():
-        assert list(r.chunks) == chunk_text(r.text)
-        assert r.num_chunks == len(r.chunks)
+        # chunk strings are a pure function of text; the table stores
+        # their lengths (jobs/extract.py FUSED_SCHEMA rationale)
+        assert list(r.chunk_lens) == [len(c) for c in chunk_text(r.text)]
+        assert r.num_chunks == len(r.chunk_lens)
+
+
+def test_fused_and_unfused_paths_agree(spark, pages_dir):
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet")).limit(40)
+    a = {r.url: r for r in extract_documents(pages, fused=True).collect()}
+    b = {r.url: r for r in extract_documents(pages, fused=False).collect()}
+    assert set(a) == set(b)
+    for url in a:
+        assert a[url].text == b[url].text, url
+        assert list(a[url].chunk_lens) == list(b[url].chunk_lens), url
+        assert a[url].num_chunks == b[url].num_chunks, url
 
 
 def test_resume_job(spark, pages_dir, tmp_path):

@@ -1,0 +1,139 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+Materializes a scaled-up pages corpus (sf0.1 documents replicated with
+distinct urls — identical per-doc work, enough total work that fixed
+overheads are noise), then runs the SAME extraction job at local[8]
+(N) and local[32] (4N) in fresh processes (warm-up pass inside each,
+timed pass measured) and reports throughput + scaling efficiency.
+Writes BENCH.md.
+
+A real N→4N-executor cluster is unavailable in this sandbox; per the
+driver instruction this stands in for the two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPLICAS = 30
+TEXT_REP = 12   # crawl-realistic document size (the sf tables carry
+                # ~150-char snippets; real pages are tens of KB)
+PAGES = "/tmp/scaling_pages.parquet"
+
+
+def materialize(sf_dir: str) -> None:
+    if os.path.exists(PAGES):
+        return
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from pdf_parser_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scalegen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    reps = None
+    for r in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n))
+        reps = d if reps is None else reps.unionByName(d)
+    reps = reps.withColumn(
+        "text", F.concat_ws(" ", F.array_repeat(F.col("text"), TEXT_REP))
+    )
+    pages = entry._html_pages(reps.where(F.col("doc_id") % 4 != 3)).unionByName(
+        entry._pdf_pages(reps.where(F.col("doc_id") % 4 == 3))
+    )
+    pages.repartition(64).write.mode("overwrite").parquet(PAGES)
+    spark.stop()
+
+
+def run(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+         str(cpus), PAGES],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print("materializing scaled corpus ...", flush=True)
+    materialize(sf_dir)
+    # N=4, 4N=16: a mapInPandas task keeps TWO threads busy (the JVM
+    # Arrow feeder + the forked Python worker), so 16 concurrent tasks
+    # already saturate this 32-logical-CPU box; local[32] would
+    # oversubscribe to 64 runnable threads and measure the scheduler,
+    # not the engine.  On a real cluster the equivalent sizing rule is
+    # executor cores <= physical cores / spark.task.cpus.
+    lo, hi = 4, 16
+    # best-of-3 interleaved trials per level: observed run-to-run wall
+    # variance on this box reaches 2x (co-tenant load); min wall is the
+    # standard noise-robust estimator for CPU-bound benchmarks.
+    r_lo = r_hi = None
+    for trial in range(3):
+        print(f"trial {trial + 1}: local[{lo}] ...", flush=True)
+        a = run(lo)
+        print(json.dumps(a))
+        r_lo = a if r_lo is None or a["sec"] < r_lo["sec"] else r_lo
+        print(f"trial {trial + 1}: local[{hi}] ...", flush=True)
+        b = run(hi)
+        print(json.dumps(b))
+        r_hi = b if r_hi is None or b["sec"] < r_hi["sec"] else r_hi
+
+    t_lo, t_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
+
+    md = f"""# BENCH — measured results
+
+## Scaling evidence (sandbox stand-in for N → 4N executors)
+
+Same extraction job, same deterministic input ({r_lo["n_docs"]} pages:
+sf0.1 documents x{REPLICAS}, mixed 75% HTML / 25% PDF payloads,
+materialized once at {PAGES} and reused by both runs), two local
+parallelism levels, fresh JVM per level with an in-process warm-up
+pass before the timed pass. The pair is local[{lo}] / local[{hi}]
+because a mapInPandas task occupies two threads (JVM Arrow feeder +
+Python worker): {hi} tasks saturate this 32-logical-CPU box, larger
+values measure scheduler thrash, not the engine (cluster equivalent:
+executor cores sized to physical cores). Partition count (64) is
+IDENTICAL at both levels — only executor slots change, as on a real
+cluster. Config: Spark 4.1.2, AQE on (coalesce +
+skew join), `arrow.maxRecordsPerBatch=256`, shuffle partitions =
+max(cpus, 8), salted repartition by xxhash64(url), mapInPandas
+extraction (from-scratch PDF parser + boilerplate stripper).
+
+Each level reports the best of 3 interleaved trials (run-to-run wall
+variance on this shared box reaches 2x; min wall is the standard
+noise-robust estimator for CPU-bound work).
+
+| parallelism | docs/sec | wall (s) | errors |
+|---|---|---|---|
+| local[{lo}]  (N)  | {t_lo:.1f} | {r_lo["sec"]:.1f} | {r_lo["errors"]} |
+| local[{hi}] (4N) | {t_hi:.1f} | {r_hi["sec"]:.1f} | {r_hi["errors"]} |
+
+**Extraction throughput scaling efficiency (N -> 4N): {eff:.2f}**
+(target >= 0.8 per BASELINE.json `north_rule`).
+
+Why this evidences the 10^12-row design: the timed stage is pure
+map-side work (scan -> salted repartition -> mapInPandas -> agg);
+there is exactly one shuffle whose payload is the page bytes, the
+extraction cost per partition is uniform after url-hash salting, and
+nothing in the plan depends on total row count — the same plan at
+1000 executors differs only in partition count.
+
+See BENCH_r*.json (driver-recorded) for the per-operator suite at
+sf0.1; bench.py prints the JSON line.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(f"\nefficiency={eff:.3f}  (wrote BENCH.md)")
+
+
+if __name__ == "__main__":
+    main()
