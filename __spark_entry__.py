@@ -357,6 +357,98 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "frame_idx")
 
 
+def _q_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 recursive splitter (reference langchain_parser.py:58-74) on
+    the documents' texts: every sf text fits one chunk, so the oracle
+    is exact; the oversized path is covered by unit tests."""
+    from pdf_parser_spark.functions.split import make_recursive_split_udf
+
+    udf = make_recursive_split_udf(1000, 200)
+    d = _docs(spark, sf_dir).withColumn("chunks", udf(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.element_at("chunks", 1).alias("first_chunk"),
+    )
+
+
+def _q_pdf_pages_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 page-granular extraction (reference langchain_parser.py:45-56)
+    over from-scratch single-page PDFs built from the documents."""
+    from pdf_parser_spark.functions.split import pages_text_df
+
+    pages = _pdf_pages(_docs(spark, sf_dir))
+    return pages_text_df(pages).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "page_no",
+        "page_text",
+    )
+
+
+def _q_text_csv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 text→CSV structure (reference csv_exporter.py:112-191) run as
+    the REAL operator (pandas UDF) over deterministic delimited text
+    built from each doc's words; the oracle recomputes the expected
+    structure arithmetically."""
+    from pyspark.sql.types import (
+        StringType, StructField as SF, StructType as ST,
+    )
+
+    @F.pandas_udf(ST([SF("headers_csv", StringType()),
+                      SF("row1_csv", StringType()),
+                      SF("row2_csv", StringType())]))
+    def e3_udf(texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import text_structure
+
+        out = []
+        for t in texts:
+            headers, rows = text_structure(t)
+            out.append({
+                "headers_csv": "|".join(headers),
+                "row1_csv": "|".join(rows[0]) if rows else "",
+                "row2_csv": "|".join(rows[1]) if len(rows) > 1 else "",
+            })
+        return pd.DataFrame(out)
+
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    line = lambda i: F.concat_ws(  # noqa: E731
+        ",", F.element_at(words, i), F.element_at(words, i + 1),
+        F.element_at(words, i + 2))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n", line(1), line(4), line(7)).alias("csvtext"),
+    )
+    return d.select(
+        "doc_id", e3_udf(F.col("csvtext")).alias("s")
+    ).select("doc_id", "s.headers_csv", "s.row1_csv", "s.row2_csv")
+
+
+def _q_tables_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 display top-k as a NATIVE window plan (reference
+    app.py:75-150) over synthetic per-doc table stats."""
+    from pdf_parser_spark.operators.exports import display_top3_native
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("table_id"),
+    )
+    stats = d.select(
+        "url", "table_id",
+        (50 + (F.col("url").cast("long") * 7 + F.col("table_id") * 13) % 50)
+        .cast("double").alias("accuracy"),
+        (2 + (F.col("url").cast("long") + F.col("table_id")) % 5)
+        .cast("int").alias("n_rows"),
+        F.lit(2).alias("n_cols"),
+        (3 + (F.col("url").cast("long") * 3 + F.col("table_id")) % 6)
+        .cast("int").alias("n_unique"),
+        (0.3 + ((F.col("url").cast("long") + F.col("table_id")) % 7) / 10.0)
+        .alias("content_ratio"),
+    )
+    return display_top3_native(stats).select(
+        "url", "table_id", "accuracy", "rank"
+    )
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped native aggregation (baseline relational op)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -413,6 +505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "text_csv_structure": _q_text_csv_structure,
+        "tables_top3_display": _q_tables_top3,
+        "recursive_split": _q_recursive_split,
+        "pdf_pages_text": _q_pdf_pages_text,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -569,6 +665,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": _media_features_sql(),
         "frame_sample": _frame_sample_sql(),
+        "text_csv_structure": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "ws[1] || '|' || ws[2] || '|' || ws[3] AS headers_csv, "
+            "ws[4] || '|' || ws[5] || '|' || ws[6] AS row1_csv, "
+            "ws[7] || '|' || ws[8] || '|' || ws[9] AS row2_csv FROM w"
+        ),
+        "tables_top3_display": (
+            "WITH stats AS ("
+            "  SELECT CAST(doc_id AS VARCHAR) AS url, t.table_id,"
+            "  CAST(50 + (doc_id * 7 + t.table_id * 13) % 50 AS DOUBLE) AS accuracy,"
+            "  CAST(2 + (doc_id + t.table_id) % 5 AS INT) AS n_rows,"
+            "  2 AS n_cols,"
+            "  CAST(3 + (doc_id * 3 + t.table_id) % 6 AS INT) AS n_unique,"
+            "  0.3 + ((doc_id + t.table_id) % 7) / 10.0 AS content_ratio"
+            "  FROM documents, (SELECT unnest([0,1,2,3]) AS table_id) t"
+            ") SELECT url, table_id, accuracy, rank FROM ("
+            "  SELECT url, table_id, accuracy, row_number() OVER ("
+            "    PARTITION BY url ORDER BY accuracy DESC,"
+            "    n_rows * n_cols DESC, n_unique DESC, table_id ASC"
+            "  ) AS rank FROM stats"
+            "  WHERE n_rows >= 2 AND n_cols >= 2 AND accuracy >= 0.4"
+            "    AND content_ratio >= 0.4 AND n_unique >= 4"
+            ") WHERE rank <= 3"
+        ),
+        "recursive_split": (
+            "SELECT doc_id, 1 AS n_chunks, trim(text) AS first_chunk "
+            "FROM documents"
+        ),
+        "pdf_pages_text": (
+            "SELECT doc_id, 1 AS page_no, text || chr(10) AS page_text "
+            "FROM documents"
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "round(SUM(l_quantity), 2) AS sum_qty, "

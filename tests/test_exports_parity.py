@@ -1,0 +1,206 @@
+"""E3/E4/E5 parity: run the REFERENCE modules (imported dynamically
+from /root/reference, never copied) as behavioral oracles on synthetic
+inputs and assert our re-expressions produce the same structures."""
+
+import csv
+import importlib.util
+import os
+
+import pytest
+
+REF_SRC = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_SRC), reason="reference unavailable"
+)
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_SRC, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_exporter():
+    return _load("csv_exporter").CSVExporter
+
+
+@pytest.fixture(scope="module")
+def ref_converter():
+    return _load("csv_converter").CSVConverter
+
+
+TEXTS = [
+    "name,age,city\nalice,30,berlin\nbob,25,paris\ncarol,41,rome",
+    "a|b|c\n1|2|3\n4|5|6",
+    "col1\tcol2\nfoo\tbar\nbaz\tqux",
+    "name  age  city\nalice  30  berlin\nbob  25  paris",
+    "just some prose text\nwith plain lines\nand nothing tabular",
+    "Item: 5; Price: 3\nItem: 6; Price: 9\nItem: 7; Price: 2",
+    "x,y\n1,2\n3,4\n5,6\n7,8\n9,10\n11,12",
+]
+
+
+def _read_csv(path):
+    with open(path, newline="", encoding="utf-8-sig") as f:
+        return [row for row in csv.reader(f)]
+
+
+def test_e3_text_structure_matches_reference(ref_exporter, tmp_path):
+    from pdf_parser_spark.operators.exports import text_structure
+
+    for i, text in enumerate(TEXTS):
+        out = str(tmp_path / f"e3_{i}")
+        path = ref_exporter.export_text_as_csv(text, out, "t")
+        got = _read_csv(path)
+        headers, rows = text_structure(text)
+        assert got[0] == headers, (i, got[0], headers)
+        assert got[1:] == rows, (i, got[1:], rows)
+
+
+def test_e5_text_to_table_matches_reference(ref_converter, tmp_path):
+    from pdf_parser_spark.operators.exports import text_to_table
+
+    for i, text in enumerate(TEXTS):
+        out = str(tmp_path / f"e5_{i}")
+        path = ref_converter.text_to_table(text, out, "t")
+        got = _read_csv(path)
+        ours = text_to_table(text)
+        # reference writes Column_N headers then the data region
+        assert got[0] == [f"Column_{k+1}" for k in range(len(ours[0]))], i
+        assert got[1:] == ours, (i, got[1:], ours)
+
+
+def _mk_table(rows, acc=95.0, page=1):
+    return {"page": page, "rows": rows, "headers": rows[0] if rows else [],
+            "shape": (len(rows), len(rows[0]) if rows else 0),
+            "accuracy": acc, "data": []}
+
+
+def test_e4_best_table_matches_reference(ref_converter, tmp_path):
+    from pdf_parser_spark.operators.exports import select_best_table
+
+    tables = [
+        _mk_table([["a", "b"], ["c", "d"]]),                        # too small
+        _mk_table([["h1", "h2"], ["v1", "v2"], ["v3", "v4"]]),      # 3x2 ok
+        _mk_table([["x1", "x2", "x3"], ["y1", "y2", "y3"],
+                   ["z1", "z2", "z3"], ["w1", "w2", "w3"]]),        # richer
+    ]
+    pdf_data = {"tables": tables, "text": "irrelevant"}
+    path = ref_converter.convert_pdf_to_csv(pdf_data, str(tmp_path), "t")
+    got = _read_csv(path)
+    best = select_best_table(tables)
+    assert best is tables[2]
+    # reference writes the chosen table's data; its first data row must
+    # come from the same table we chose
+    flat = [c for row in got for c in row]
+    assert "x1" in flat or "y1" in flat
+
+
+def test_e2_table_csv_matches_reference(ref_exporter, tmp_path):
+    from pdf_parser_spark.operators.exports import export_tables_to_csv
+
+    cases = [
+        # plain strings
+        [_mk_table([["h1", "h2"], ["a", "b"], ["c", "d"]])],
+        # numeric-majority column -> cast; gap -> float render
+        [_mk_table([["name", "qty"], ["x", "1"], ["y", "2"], ["z", ""]])],
+        # all-int numeric column, no gaps
+        [_mk_table([["k", "n"], ["a", "10"], ["b", "20"], ["c", "30"]])],
+        # empty row dropped; partial empties
+        [_mk_table([["c1", "c2"], ["", ""], ["v", ""]])],
+        # two tables -> suffixed files
+        [_mk_table([["p", "q"], ["1", "2"]]),
+         _mk_table([["r", "s"], ["3", "4"]])],
+    ]
+    for i, tables in enumerate(cases):
+        out = str(tmp_path / f"e2_{i}")
+        paths = ref_exporter.export_tables_to_csv(tables, out, "t")
+        ours = export_tables_to_csv(tables, "t")
+        assert sorted(os.path.basename(p) for p in paths) == sorted(ours), i
+        for p in paths:
+            with open(p, encoding="utf-8-sig", newline="") as f:
+                ref_text = f.read()
+            assert ref_text == ours[os.path.basename(p)], (i, p)
+
+
+def test_x6_display_filter_spec():
+    from pdf_parser_spark.operators.exports import filter_tables_for_display
+
+    good = _mk_table([["q1", "q2"], ["r1", "r2"], ["s1", "s2"]], acc=90)
+    low_acc = _mk_table([["a1", "a2"], ["b1", "b2"], ["c1", "c2"]], acc=0.2)
+    header_like = _mk_table(
+        [["column one", "column two"], ["header a", "header b"],
+         ["title c", "name d"]], acc=95)
+    out = filter_tables_for_display([good, low_acc, header_like])
+    assert out == [good]
+    # top-3 cap, sorted by accuracy
+    many = [
+        _mk_table([[f"a{i}", f"b{i}"], [f"c{i}", f"d{i}"]], acc=50 + i)
+        for i in range(5)
+    ]
+    out = filter_tables_for_display(many)
+    assert len(out) == 3
+    assert [t["accuracy"] for t in out] == [54, 53, 52]
+
+
+def test_write_table_csvs_job(spark, tmp_path):
+    """E1/E2 distributed writer: fixture PDF → one CSV per golden
+    table, formatted byte-identically to the reference's writer."""
+    from pdf_parser_spark.jobs.export_csv import write_table_csvs
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    pdf = "/root/reference/Snack_planogram_12_05_2025.pdf"
+    with open(pdf, "rb") as f:
+        payload = f.read()
+    pages = spark.createDataFrame([("snack", payload)],
+                                  "url string, html binary")
+    docs = extract_documents(pages, partitions=2)
+    out = str(tmp_path / "csvs")
+    manifest = write_table_csvs(docs, out).collect()
+    assert len(manifest) >= 5  # filtered tables for the planogram
+    for r in manifest:
+        path = os.path.join(out, r.filename)
+        assert os.path.exists(path)
+        with open(path, encoding="utf-8-sig") as f:
+            body = f.read()
+        assert len(body) == r.n_bytes
+        assert "," in body.splitlines()[0] or body.splitlines()[0]
+
+
+def test_x6_native_matches_python(spark):
+    from pdf_parser_spark.operators.exports import (
+        display_top3_native, filter_tables_for_display,
+    )
+
+    rows = []
+    tables = []
+    for d in range(3):
+        for i in range(5):
+            t = _mk_table(
+                [[f"a{d}{i}", f"b{d}{i}"], [f"c{d}{i}", f"d{d}{i}"],
+                 [f"e{d}{i}", f"f{d}{i}"]], acc=60 + i + d)
+            tables.append((f"doc{d}", i, t))
+            uniq = {c for r in t["rows"] for c in r}
+            rows.append((f"doc{d}", i, float(t["accuracy"]),
+                         t["shape"][0], t["shape"][1], len(uniq), 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "url string, table_id int, accuracy double, n_rows int, "
+        "n_cols int, n_unique int, content_ratio double",
+    )
+    native = {
+        (r.url, r.table_id)
+        for r in display_top3_native(df).collect()
+    }
+    for d in range(3):
+        per_doc = [t for (u, i, t) in tables if u == f"doc{d}"]
+        keep = filter_tables_for_display(per_doc)
+        ids = {
+            (f"doc{d}", i) for (u, i, t) in tables
+            if u == f"doc{d}" and t in keep
+        }
+        assert ids == {p for p in native if p[0] == f"doc{d}"}

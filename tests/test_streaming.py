@@ -1,0 +1,60 @@
+"""Streaming extraction: same results as batch, exactly-once resume
+via checkpoint (file source), incremental pickup of new files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    from pdf_parser_spark.datagen.pages import write_pages
+
+    d = str(tmp_path_factory.mktemp("stream_pages"))
+    write_pages(spark, d, n=48, seed=7, include_fixtures=False)
+    return os.path.join(d, "pages.parquet")
+
+
+def test_stream_matches_batch(spark, pages_dir, tmp_path):
+    from pdf_parser_spark.jobs.extract import extract_documents
+    from pdf_parser_spark.streaming.extract_stream import run_extract_stream
+
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    run_extract_stream(spark, pages_dir, out, ckpt, available_now=True)
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+
+    batch = {
+        r.url: r
+        for r in extract_documents(spark.read.parquet(pages_dir)).collect()
+    }
+    assert set(got) == set(batch) and len(got) == 48
+    for url in got:
+        assert got[url].text == batch[url].text, url
+        assert got[url].num_chunks == batch[url].num_chunks, url
+
+    # resume: re-running with the same checkpoint ingests nothing new
+    run_extract_stream(spark, pages_dir, out, ckpt, available_now=True)
+    assert spark.read.parquet(out).count() == 48
+
+
+def test_stream_picks_up_new_files(spark, pages_dir, tmp_path):
+    from pdf_parser_spark.datagen.pages import generate_pages, PAGES_SCHEMA
+    from pdf_parser_spark.streaming.extract_stream import run_extract_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    first = generate_pages(spark, 8, seed=11, include_fixtures=False)
+    cols = [f.name for f in PAGES_SCHEMA.fields]
+    first.select(*cols).write.mode("append").parquet(src)
+    run_extract_stream(spark, src, out, ckpt, available_now=True)
+    assert spark.read.parquet(out).count() == 8
+
+    more = generate_pages(spark, 6, seed=12, include_fixtures=False)
+    more.select(*cols).withColumn(
+        "url", F.concat(F.lit("b/"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    run_extract_stream(spark, src, out, ckpt, available_now=True)
+    assert spark.read.parquet(out).count() == 14
