@@ -1,0 +1,119 @@
+"""Capture physical plans of the engine's key queries into PLANS.md —
+the at-scale evidence the plans are the ones a 100 TB cluster wants:
+pushed filters, pruned scans, broadcast joins, partial aggregation,
+whole-stage codegen, and exactly one shuffle in the extraction path.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def head(plan: str, n: int = 40) -> str:
+    lines = [ln.rstrip() for ln in plan.splitlines()]
+    # keep the tree; drop the verbose per-node detail section
+    cut = next((i for i, ln in enumerate(lines) if ln.startswith("(1) ")),
+               len(lines))
+    tree = [ln for ln in lines[:cut] if ln.strip()]
+    return "\n".join(tree[:n])
+
+
+def count_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange", plan))
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from pdf_parser_spark.session import get_spark
+    from pdf_parser_spark.jobs.extract import extract_documents
+    from pyspark.sql import functions as F
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+
+    def add(title, df, notes):
+        plan = plan_of(df)
+        sections.append(
+            f"## {title}\n\n{notes}\n(exchanges in plan: "
+            f"{count_exchanges(plan)})\n\n```\n{head(plan)}\n```\n"
+        )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    add(
+        "Flagship extraction (pages → documents)",
+        extract_documents(entry._html_pages(docs)),
+        "One salted-repartition Exchange feeds ONE fused Python stage "
+        "(extract+clean+chunk) — map-only after the skew-defusing "
+        "shuffle; nothing else materializes.",
+    )
+
+    add(
+        "Column-pruned scan + pushed filter",
+        docs.where(F.col("lang") == "en").select("doc_id", "n_chars"),
+        "PushedFilters and a 2-column ReadSchema must appear in the "
+        "parquet scan node — Catalyst prunes and pushes without help.",
+    )
+
+    add(
+        "minhash LSH candidates",
+        __import__("pdf_parser_spark.operators.dedup",
+                   fromlist=["dedup"]).minhash_lsh_candidates(docs),
+        "Signature is map-side; ONE Exchange on 16-byte band keys into "
+        "a groupBy (partial_count first), pair fan-out native, then "
+        "distinct. Full texts never shuffle.",
+    )
+
+    add(
+        "Broadcast dim join + top-k",
+        entry._q_top_customers(spark, SF),
+        "Small dim broadcast (BroadcastHashJoin, no shuffle of the "
+        "fact side beyond the aggregation), TakeOrderedAndProject "
+        "instead of a global sort.",
+    )
+
+    add(
+        "Windowed top-3 per group (X6 analog)",
+        entry._q_topk_display(spark, SF),
+        "Single hash-partition Exchange on the group key feeding the "
+        "window; filter on row_number keeps the rest pipelined.",
+    )
+
+    add(
+        "Cosine top-k (brute force)",
+        entry._q_cosine_topk(spark, SF),
+        "Map-only scoring (higher-order aggregate over the vector, "
+        "JVM codegen) + TakeOrderedAndProject — per-partition heaps, "
+        "no global sort, no vector shuffle.",
+    )
+
+    body = (
+        "# PLANS — physical-plan evidence for the scale design\n\n"
+        "Captured by tools/explain_plans.py at sf0.01 (plans are "
+        "data-size independent; AQE may further coalesce at runtime).\n\n"
+        + "\n".join(sections)
+    )
+    with open("PLANS.md", "w") as f:
+        f.write(body)
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
