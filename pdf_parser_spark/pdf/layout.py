@@ -51,6 +51,7 @@ class Seg:
     y0: float
     x1: float
     y1: float
+    seq: int = 0    # draw order (overpaint resolution)
 
 
 def _tx(m, x, y) -> Tuple[float, float]:
@@ -64,6 +65,10 @@ class _GeomExtractor:
         self.runs: List[Run] = []
         self.segs: List[Seg] = []
         self.fill_rects: List[Tuple[float, float, float, float]] = []
+        # near-white fills painted LATER erase earlier dark marks in a
+        # raster — recorded with draw order for the overpaint pass
+        self.white_rects: List[Tuple[int, float, float, float, float]] = []
+        self._draw_seq = 0
 
     def _fonts_for(self, resources) -> Dict[str, Font]:
         r = self.doc.resolve
@@ -119,8 +124,20 @@ class _GeomExtractor:
             if cur:
                 path.append(cur)
                 cur = []
+            self._draw_seq += 1
+            seq = self._draw_seq
             lum = stroke_lum if stroke else fill_lum
-            if lum > 0.85:  # near-white marks vanish in camelot's binarization
+            if lum > 0.85:  # near-white marks vanish in camelot's
+                # binarization — and near-white FILLS erase what they
+                # cover (overpaint), so record their extents
+                if fill:
+                    for sub in path:
+                        pts = [_tx(cm, x, y) for x, y in sub]
+                        if pts:
+                            xs = [p[0] for p in pts]
+                            ys = [p[1] for p in pts]
+                            self.white_rects.append(
+                                (seq, min(xs), min(ys), max(xs), max(ys)))
                 path = []
                 return
             if stroke and dashed:
@@ -130,7 +147,7 @@ class _GeomExtractor:
                 pts = [_tx(cm, x, y) for x, y in sub]
                 if stroke:
                     for (ax, ay), (bx, by) in zip(pts, pts[1:]):
-                        self.segs.append(Seg(ax, ay, bx, by))
+                        self.segs.append(Seg(ax, ay, bx, by, seq))
                 elif fill and pts:
                     # filled areas: thin ones act as rules; wider
                     # bands survive camelot's raster morphology as
@@ -141,10 +158,10 @@ class _GeomExtractor:
                     y0, y1 = min(ys), max(ys)
                     if (x1 - x0) < 2.5 or (y1 - y0) < 2.5:
                         self.segs.append(Seg(x0, (y0 + y1) / 2,
-                                             x1, (y0 + y1) / 2)
+                                             x1, (y0 + y1) / 2, seq)
                                          if (y1 - y0) < 2.5 else
                                          Seg((x0 + x1) / 2, y0,
-                                             (x0 + x1) / 2, y1))
+                                             (x0 + x1) / 2, y1, seq))
                     else:
                         self.fill_rects.append((x0, y0, x1, y1))
             path = []
@@ -295,13 +312,63 @@ class _GeomExtractor:
                 continue
 
 
+def _erase_overpainted(segs: List[Seg],
+                       white_rects: List[tuple],
+                       edge: float = 1.0) -> List[Seg]:
+    """Raster overpaint semantics: a near-white fill painted AFTER a
+    dark mark erases the covered portion.  Only the rect INTERIOR
+    (inset by `edge`) erases — rules drawn along a fill's boundary
+    survive in the raster (the fill's pixels stop at the line).
+    Axis-aligned segments are trimmed; surviving pieces are what the
+    binarized raster still shows."""
+    if not white_rects:
+        return segs
+    out: List[Seg] = []
+    work = list(segs)
+    while work:
+        s = work.pop()
+        covered = False
+        for seq, x0, y0, x1, y1 in white_rects:
+            if seq <= s.seq:
+                continue
+            ix0, iy0, ix1, iy1 = x0 + edge, y0 + edge, x1 - edge, y1 - edge
+            if ix0 >= ix1 or iy0 >= iy1:
+                continue
+            sx0, sx1 = min(s.x0, s.x1), max(s.x0, s.x1)
+            sy0, sy1 = min(s.y0, s.y1), max(s.y0, s.y1)
+            if sx0 >= ix0 and sx1 <= ix1 and sy0 >= iy0 and sy1 <= iy1:
+                covered = True          # fully erased
+                break
+            if abs(s.y0 - s.y1) <= 1e-6 and iy0 <= s.y0 <= iy1 \
+                    and sx1 > ix0 and sx0 < ix1:
+                # horizontal segment partially covered: keep outer parts
+                if sx0 < ix0:
+                    work.append(Seg(sx0, s.y0, ix0, s.y1, s.seq))
+                if sx1 > ix1:
+                    work.append(Seg(ix1, s.y0, sx1, s.y1, s.seq))
+                covered = True
+                break
+            if abs(s.x0 - s.x1) <= 1e-6 and ix0 <= s.x0 <= ix1 \
+                    and sy1 > iy0 and sy0 < iy1:
+                if sy0 < iy0:
+                    work.append(Seg(s.x0, sy0, s.x1, iy0, s.seq))
+                if sy1 > iy1:
+                    work.append(Seg(s.x0, iy1, s.x1, sy1, s.seq))
+                covered = True
+                break
+        if not covered:
+            out.append(s)
+    return out
+
+
 def page_geometry(doc: PdfDocument, page: dict):
     """(runs, stroke segments, filled rect bboxes) for one page."""
     ex = _GeomExtractor(doc)
     content = doc.page_content(page)
     if content:
         ex.extract(content, page.get("Resources"))
-    return ex.runs, ex.segs, ex.fill_rects
+    segs = _erase_overpainted(ex.segs, ex.white_rects)
+    return ex.runs, segs, ex.fill_rects
 
 
 # ------------------------------------------------- rotation normalize
