@@ -38,6 +38,29 @@ class PdfDocument:
         if "Root" not in self.trailer:
             self._brute_scan()
             self._find_root_by_scan()
+        # standard security handler (empty user password) — common in
+        # crawled PDFs; set up AFTER xref so get_object can decrypt
+        self._decryptor = None
+        self._enc_num = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            from .crypt import build_decryptor
+
+            if isinstance(enc_ref, IndirectRef):
+                self._enc_num = enc_ref.num
+            enc = self.resolve(enc_ref)
+            if isinstance(enc, StreamObject):
+                enc = enc.dict
+            ids = self.resolve(self.trailer.get("ID"))
+            id0 = ids[0] if isinstance(ids, list) and ids and \
+                isinstance(ids[0], bytes) else b""
+            try:
+                self._decryptor = build_decryptor(enc, id0, self.resolve)
+            except Exception:
+                self._decryptor = None
+            if self._decryptor is None and isinstance(enc, dict):
+                raise PdfError("unsupported encryption scheme")
+            self._cache.clear()  # re-fetch objects through decryption
 
     # ---------------- xref loading ----------------
 
@@ -222,6 +245,17 @@ class PdfDocument:
                         return None
                 else:
                     return None
+            dec = getattr(self, "_decryptor", None)
+            if dec is not None and num != self._enc_num:
+                # strings decrypt per object; stream raw decrypts whole
+                # (object-stream CONTENTS are then parsed plain, per spec)
+                if stream is not None:
+                    stream = StreamObject(
+                        dec.decrypt_object(stream.dict, num, 0),
+                        dec.decrypt(stream.raw, num, 0),
+                    )
+                else:
+                    obj = dec.decrypt_object(obj, num, 0)
             value = stream if stream is not None else obj
         else:
             _, stm_num, idx = entry

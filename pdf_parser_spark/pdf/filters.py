@@ -49,16 +49,21 @@ def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     return bytes(out)
 
 
+#: per-stream decompressed-size cap. A crawled "zip bomb" (a few KB
+#: inflating to GBs) would otherwise OOM an executor mid-batch; a real
+#: content stream under the crawl's 16 MB payload cap never reaches
+#: this. Truncation is a contained per-document degradation.
+MAX_DECOMPRESSED = 128 * 1024 * 1024
+
+
 def flate_decode(data: bytes, params: dict | None) -> bytes:
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(data)
+        # Tolerates truncated streams (common in crawled PDFs): take
+        # whatever inflates, bounded by MAX_DECOMPRESSED.
+        raw = d.decompress(data, MAX_DECOMPRESSED)
     except zlib.error:
-        # Tolerate truncated streams (common in crawled PDFs).
-        d = zlib.decompressobj()
-        try:
-            raw = d.decompress(data)
-        except zlib.error:
-            return b""
+        return b""
     if params:
         pred = int(params.get("Predictor", 1) or 1)
         if pred >= 10:
