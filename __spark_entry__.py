@@ -260,6 +260,13 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs → connected components
+    → (doc_id, cluster_id) canonical groups."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return dedup.dedup_clusters(pairs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32(_docs(spark, sf_dir))
 
@@ -496,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dups,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_jaccard,
         "cosine_topk": _q_cosine_topk,
@@ -638,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
             f"{dedup.minhash_signature_sql('text')}, ',') AS sig FROM documents"
         ),
         "minhash_lsh_candidates": _minhash_lsh_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(_minhash_lsh_sql()),
         "simhash": dedup.simhash32_sql(),
         "ngram_jaccard_pairs": (
             "SELECT id_a, id_b, n_common, n_a, n_b, round(jaccard, 6) AS jaccard "

@@ -239,6 +239,94 @@ def minhash_lsh_candidates(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+# ---------------------------------------------------------- clustering
+
+
+def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
+                   id_col_b: str = "id_b", max_iter: int = 6) -> DataFrame:
+    """Connected components over near-dup candidate pairs →
+    (doc_id, cluster_id) with cluster_id = min doc id in the component
+    (the canonical keeper).
+
+    Iterative min-label propagation, pure DataFrame ops: each round
+    joins every node's current label against its neighbors' labels and
+    takes the min; near-dup components are tiny (dozens at most), so a
+    handful of rounds reaches the fixpoint — `max_iter` bounds the
+    worst case. Each round is two shuffles on doc ids; labels are
+    8-byte longs, texts never move. (At true web scale swap in the
+    alternating large-star/small-star variant — same primitive ops.)
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .union(pairs.select(F.col(id_col_b).alias("a"),
+                            F.col(id_col_a).alias("b")))
+        .distinct()
+        .persist()   # candidate generation (LSH) runs ONCE, not per round
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "b")
+                       .withColumnRenamed("label", "nb_label"), "b")
+            .groupBy("a").agg(F.min("nb_label").alias("min_nb"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("min_nb"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage: O(rounds) total work
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_sql(pairs_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin: the same fixed number of min-label rounds."""
+    q = f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges)
+"""
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        q += f""",
+l{i} AS (
+  SELECT p.id,
+         LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
+  FROM {prev} p
+  LEFT JOIN edges e ON e.a = p.id
+  LEFT JOIN {prev} n ON n.id = e.b
+  GROUP BY p.id, p.label
+)
+"""
+        prev = f"l{i}"
+    q += f"SELECT id AS doc_id, label AS cluster_id FROM {prev}"
+    return q
+
+
 # ------------------------------------------------------------- simhash
 
 _HI_NIBBLES = ["8", "9", "a", "b", "c", "d", "e", "f"]

@@ -58,3 +58,34 @@ def test_stream_picks_up_new_files(spark, pages_dir, tmp_path):
     ).write.mode("append").parquet(src)
     run_extract_stream(spark, src, out, ckpt, available_now=True)
     assert spark.read.parquet(out).count() == 14
+
+
+def test_stateful_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: duplicates dropped within a batch AND
+    across restarts (state store persists under the checkpoint)."""
+    from pdf_parser_spark.datagen.pages import PAGES_SCHEMA, generate_pages
+    from pdf_parser_spark.streaming.dedup_stream import run_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    cols = [f.name for f in PAGES_SCHEMA.fields]
+    batch = generate_pages(spark, 10, seed=21, include_fixtures=False)
+    batch.select(*cols).write.mode("append").parquet(src)
+    run_dedup_stream(spark, src, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == 10  # all distinct initially
+
+    # re-append the SAME 10 pages under new urls (same text) + 4 new
+    dup = batch.select(*cols).withColumn(
+        "url", F.concat(F.lit("dup/"), F.col("url")))
+    dup.write.mode("append").parquet(src)
+    fresh = generate_pages(spark, 4, seed=22, include_fixtures=False)
+    fresh.select(*cols).withColumn(
+        "url", F.concat(F.lit("b/"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    run_dedup_stream(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    # the 10 duplicates were suppressed by the persisted state
+    assert len(rows) == 14
+    assert len({r.fingerprint for r in rows}) == 14
