@@ -364,6 +364,48 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "frame_idx")
 
 
+def _q_extract_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 lattice table extraction in the correctness gate: build
+    ruled-table PDFs from each doc's words (datagen.pdfgen vector
+    strokes), run the geometric detector, and compare every cell
+    against word arithmetic. The deterministic layout yields one table
+    of 4 rows (the page's text line absorbed into the bbox-extension
+    row, camelot-style) x 3 cols."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark.datagen.pdfgen import build_pdf
+        from pdf_parser_spark.operators.tables import extract_tables
+
+        for b in batches:
+            out = []
+            for i, text in zip(b["doc_id"], b["text"]):
+                ws = text.split()
+                pdf = build_pdf(
+                    [[text]],
+                    {0: (ws[0:3], [ws[3:6], ws[6:9]])},
+                    {"Title": f"doc-{int(i)}"},
+                )
+                ts = extract_tables(pdf, apply_filter=False)
+                t0 = ts[0] if ts else {"shape": (0, 0), "rows": []}
+                rows = t0["rows"]
+                out.append({
+                    "doc_id": int(i),
+                    "n_tables": len(ts),
+                    "n_rows": t0["shape"][0],
+                    "n_cols": t0["shape"][1],
+                    "row1_csv": "|".join(rows[1]) if len(rows) > 1 else "",
+                    "row2_csv": "|".join(rows[2]) if len(rows) > 2 else "",
+                    "row3_csv": "|".join(rows[3]) if len(rows) > 3 else "",
+                })
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, n_tables int, n_rows int, n_cols int, "
+        "row1_csv string, row2_csv string, row3_csv string",
+    )
+
+
 def _q_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 recursive splitter (reference langchain_parser.py:58-74) on
     the documents' texts: every sf text fits one chunk, so the oracle
@@ -517,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tables_top3_display": _q_tables_top3,
         "recursive_split": _q_recursive_split,
         "pdf_pages_text": _q_pdf_pages_text,
+        "extract_pdf_tables": _q_extract_pdf_tables,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -699,6 +742,14 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE n_rows >= 2 AND n_cols >= 2 AND accuracy >= 0.4"
             "    AND content_ratio >= 0.4 AND n_unique >= 4"
             ") WHERE rank <= 3"
+        ),
+        "extract_pdf_tables": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, 1 AS n_tables, 4 AS n_rows, 3 AS n_cols, "
+            "ws[1] || '|' || ws[2] || '|' || ws[3] AS row1_csv, "
+            "ws[4] || '|' || ws[5] || '|' || ws[6] AS row2_csv, "
+            "ws[7] || '|' || ws[8] || '|' || ws[9] AS row3_csv FROM w"
         ),
         "recursive_split": (
             "SELECT doc_id, 1 AS n_chunks, trim(text) AS first_chunk "

@@ -350,6 +350,44 @@ def export_tables_to_csv(tables: List[dict],
     return out
 
 
+# ------------------------------------------------------------------ E7
+
+
+def export_result_as_csvs(result: dict, base_filename: str) -> Dict[str, str]:
+    """E7 fan-out (src/csv_exporter.py:193-242): a ParseResult dict →
+    {filename: csv text} covering tables (E2), the full text (E3), and
+    each non-empty chunk (E3; empty chunks skipped per :233)."""
+    out: Dict[str, str] = {}
+    tables = result.get("tables")
+    if isinstance(tables, list):
+        out.update(export_tables_to_csv(tables, base_filename))
+    text = result.get("text")
+    if text:
+        headers, rows = text_structure(text)
+        out[f"{base_filename}_text.csv"] = render_csv(headers, rows)
+    chunks = result.get("chunks")
+    if isinstance(chunks, list):
+        for i, chunk in enumerate(chunks):
+            if isinstance(chunk, str) and chunk.strip():
+                headers, rows = text_structure(chunk)
+                out[f"{base_filename}_chunk_{i+1}_text.csv"] = render_csv(
+                    headers, rows)
+    return out
+
+
+# ------------------------------------------------------------------ E6
+
+
+def render_result_json(result: dict) -> str:
+    """E6 JSON sink (src/cli.py:16-38, duplicated app.py:56-73):
+    serialize the ParseResult with ``indent=2, default=str``, dropping
+    the non-serializable ``langchain_docs`` entry."""
+    import json as _json
+
+    clean = {k: v for k, v in result.items() if k != "langchain_docs"}
+    return _json.dumps(clean, indent=2, default=str)
+
+
 # ------------------------------------------------------------------ E4
 
 

@@ -127,6 +127,33 @@ def test_e2_table_csv_matches_reference(ref_exporter, tmp_path):
             assert ref_text == ours[os.path.basename(p)], (i, p)
 
 
+def test_e7_json_roundtrip_matches_reference(ref_exporter, tmp_path):
+    import json as _json
+
+    from pdf_parser_spark.operators.exports import export_result_as_csvs
+
+    result = {
+        "text": "name,age\nalice,30\nbob,25",
+        "chunks": ["", "name,age\nalice,30"],
+        "tables": [
+            _mk_table([["h1", "h2"], ["a", "b"], ["c", "d"]]),
+            _mk_table([["x", "y"], ["1", "2"], ["3", "4"]]),
+        ],
+        "metadata": {"num_pages": 1},
+        "num_chunks": 2,
+    }
+    jpath = str(tmp_path / "doc.json")
+    with open(jpath, "w") as f:
+        _json.dump(result, f)
+    out = str(tmp_path / "csvs")
+    paths = ref_exporter.export_raw_json_as_csv(jpath, out)
+    ours = export_result_as_csvs(result, "doc")
+    assert sorted(os.path.basename(p) for p in paths) == sorted(ours)
+    for p in paths:
+        with open(p, encoding="utf-8-sig", newline="") as f:
+            assert f.read() == ours[os.path.basename(p)], p
+
+
 def test_x6_display_filter_spec():
     from pdf_parser_spark.operators.exports import filter_tables_for_display
 
