@@ -73,8 +73,20 @@ def main() -> None:
     timed("extract_mixed", q_extract)
     extra["docs_per_sec"] = round(n_docs / timings["extract_mixed"], 2)
 
+    # tables: ruled-PDF lattice extraction throughput
+    timed(
+        "extract_tables",
+        lambda: entry._q_extract_pdf_tables(spark, sf_dir)
+        .agg(F.sum("n_tables")).collect(),
+    )
+
     # dedup family
     timed("minhash_lsh", lambda: dedup.minhash_lsh_candidates(docs).count())
+    timed(
+        "dedup_clusters",
+        lambda: dedup.dedup_clusters(
+            dedup.minhash_lsh_candidates(docs)).count(),
+    )
     timed("simhash", lambda: dedup.simhash32(docs).agg(F.sum("simhash")).collect())
     timed(
         "ngram_jaccard",
