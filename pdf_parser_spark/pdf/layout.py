@@ -331,7 +331,12 @@ def _erase_overpainted(segs: List[Seg],
         for seq, x0, y0, x1, y1 in white_rects:
             if seq <= s.seq:
                 continue
-            ix0, iy0, ix1, iy1 = x0 + edge, y0 + edge, x1 - edge, y1 - edge
+            # interior inset scales down for thin white covers (a 1pt
+            # white stripe painted over a rule erases it; a big white
+            # panel leaves rules drawn along its boundary visible)
+            ex_ = min(edge, (x1 - x0) / 4) - 0.5
+            ey_ = min(edge, (y1 - y0) / 4) - 0.5
+            ix0, iy0, ix1, iy1 = x0 + ex_, y0 + ey_, x1 - ex_, y1 - ey_
             if ix0 >= ix1 or iy0 >= iy1:
                 continue
             sx0, sx1 = min(s.x0, s.x1), max(s.x0, s.x1)
