@@ -77,13 +77,138 @@ def object_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[:min(len(file_key) + 5, 16)]
 
 
+# -------------------------------------------------------- AES-128-CBC
+# Pure-Python AES decryption (FIPS-197 / SP 800-38A public algorithms;
+# no AES primitive exists in the stdlib). Slow-path code: it only runs
+# for /AESV2 documents, ~1 MB/s is ample for crawl content streams.
+
+_SBOX = [
+    0x63, 0x7c, 0x77, 0x7b, 0xf2, 0x6b, 0x6f, 0xc5, 0x30, 0x01, 0x67,
+    0x2b, 0xfe, 0xd7, 0xab, 0x76, 0xca, 0x82, 0xc9, 0x7d, 0xfa, 0x59,
+    0x47, 0xf0, 0xad, 0xd4, 0xa2, 0xaf, 0x9c, 0xa4, 0x72, 0xc0, 0xb7,
+    0xfd, 0x93, 0x26, 0x36, 0x3f, 0xf7, 0xcc, 0x34, 0xa5, 0xe5, 0xf1,
+    0x71, 0xd8, 0x31, 0x15, 0x04, 0xc7, 0x23, 0xc3, 0x18, 0x96, 0x05,
+    0x9a, 0x07, 0x12, 0x80, 0xe2, 0xeb, 0x27, 0xb2, 0x75, 0x09, 0x83,
+    0x2c, 0x1a, 0x1b, 0x6e, 0x5a, 0xa0, 0x52, 0x3b, 0xd6, 0xb3, 0x29,
+    0xe3, 0x2f, 0x84, 0x53, 0xd1, 0x00, 0xed, 0x20, 0xfc, 0xb1, 0x5b,
+    0x6a, 0xcb, 0xbe, 0x39, 0x4a, 0x4c, 0x58, 0xcf, 0xd0, 0xef, 0xaa,
+    0xfb, 0x43, 0x4d, 0x33, 0x85, 0x45, 0xf9, 0x02, 0x7f, 0x50, 0x3c,
+    0x9f, 0xa8, 0x51, 0xa3, 0x40, 0x8f, 0x92, 0x9d, 0x38, 0xf5, 0xbc,
+    0xb6, 0xda, 0x21, 0x10, 0xff, 0xf3, 0xd2, 0xcd, 0x0c, 0x13, 0xec,
+    0x5f, 0x97, 0x44, 0x17, 0xc4, 0xa7, 0x7e, 0x3d, 0x64, 0x5d, 0x19,
+    0x73, 0x60, 0x81, 0x4f, 0xdc, 0x22, 0x2a, 0x90, 0x88, 0x46, 0xee,
+    0xb8, 0x14, 0xde, 0x5e, 0x0b, 0xdb, 0xe0, 0x32, 0x3a, 0x0a, 0x49,
+    0x06, 0x24, 0x5c, 0xc2, 0xd3, 0xac, 0x62, 0x91, 0x95, 0xe4, 0x79,
+    0xe7, 0xc8, 0x37, 0x6d, 0x8d, 0xd5, 0x4e, 0xa9, 0x6c, 0x56, 0xf4,
+    0xea, 0x65, 0x7a, 0xae, 0x08, 0xba, 0x78, 0x25, 0x2e, 0x1c, 0xa6,
+    0xb4, 0xc6, 0xe8, 0xdd, 0x74, 0x1f, 0x4b, 0xbd, 0x8b, 0x8a, 0x70,
+    0x3e, 0xb5, 0x66, 0x48, 0x03, 0xf6, 0x0e, 0x61, 0x35, 0x57, 0xb9,
+    0x86, 0xc1, 0x1d, 0x9e, 0xe1, 0xf8, 0x98, 0x11, 0x69, 0xd9, 0x8e,
+    0x94, 0x9b, 0x1e, 0x87, 0xe9, 0xce, 0x55, 0x28, 0xdf, 0x8c, 0xa1,
+    0x89, 0x0d, 0xbf, 0xe6, 0x42, 0x68, 0x41, 0x99, 0x2d, 0x0f, 0xb0,
+    0x54, 0xbb, 0x16,
+]
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1b, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+def _expand_key(key: bytes):
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i: 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return w, nr
+
+
+def _aes_decrypt_block(block: bytes, w, nr: int) -> bytes:
+    s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+    def add_round_key(rnd):
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= w[4 * rnd + c][r]
+
+    add_round_key(nr)
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows
+        for r in range(1, 4):
+            s[r] = s[r][-r:] + s[r][:-r]
+        # InvSubBytes
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _INV_SBOX[s[r][c]]
+        add_round_key(rnd)
+        if rnd:
+            # InvMixColumns
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = _gmul(a[0], 14) ^ _gmul(a[1], 11) ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
+                s[1][c] = _gmul(a[0], 9) ^ _gmul(a[1], 14) ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
+                s[2][c] = _gmul(a[0], 13) ^ _gmul(a[1], 9) ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
+                s[3][c] = _gmul(a[0], 11) ^ _gmul(a[1], 13) ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-CBC decrypt, PDF layout: 16-byte IV prefix, PKCS#5 padding."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    w, nr = _expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for off in range(16, len(data), 16):
+        blk = data[off:off + 16]
+        dec = _aes_decrypt_block(blk, w, nr)
+        out.extend(bytes(a ^ b for a, b in zip(dec, prev)))
+        prev = blk
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16:
+        out = out[:-pad]
+    return bytes(out)
+
+
 class Decryptor:
     """Holds the file key; decrypts strings/streams per object."""
 
-    def __init__(self, file_key: bytes) -> None:
+    def __init__(self, file_key: bytes, aes: bool = False) -> None:
         self.file_key = file_key
+        self.aes = aes
 
     def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.aes:
+            h = hashlib.md5(
+                self.file_key
+                + struct.pack("<i", num)[:3]
+                + struct.pack("<i", gen)[:2]
+                + b"sAlT"
+            ).digest()
+            return aes_cbc_decrypt(h[:min(len(self.file_key) + 5, 16)], data)
         return rc4(object_key(self.file_key, num, gen), data)
 
     def decrypt_object(self, obj, num: int, gen: int):
@@ -108,10 +233,22 @@ def build_decryptor(enc: dict, id0: bytes,
         return None
     v = int(resolve(enc.get("V", 0)) or 0)
     r = int(resolve(enc.get("R", 2)) or 2)
-    if v not in (1, 2):
-        return None  # V4/V5 (AES) unsupported here
+    aes = False
+    if v == 4:
+        # crypt-filter dispatch: /StdCF /CFM is V2 (RC4) or AESV2
+        cf = resolve(enc.get("CF")) or {}
+        stdcf = resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+        cfm = str(resolve(stdcf.get("CFM"))) if isinstance(stdcf, dict) else ""
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            return None
+    elif v not in (1, 2):
+        return None  # V5 (AES-256) unsupported here
     o_entry = resolve(enc.get("O")) or b""
     p = int(resolve(enc.get("P", -1)) or -1)
     length = int(resolve(enc.get("Length", 40)) or 40)
-    key = standard_key(o_entry, p, id0, r, length)
-    return Decryptor(key)
+    em = resolve(enc.get("EncryptMetadata", True))
+    key = standard_key(o_entry, p, id0, r, length,
+                       encrypt_metadata=bool(em) if em is not None else True)
+    return Decryptor(key, aes=aes)

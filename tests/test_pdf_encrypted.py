@@ -95,3 +95,132 @@ def test_pipeline_contains_encrypted_error_free():
     assert r["kind"] == "pdf"
     assert r["raw_text"].strip() == "secret but readable"
     assert r["error"] is None
+
+
+# ---------------------------------------------------------------- AES
+
+
+def _aes_encrypt_block(block, w, nr):
+    """Forward AES cipher (test fixture encryption only)."""
+    from pdf_parser_spark.pdf.crypt import _SBOX, _gmul
+
+    s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+    def ark(rnd):
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= w[4 * rnd + c][r]
+
+    ark(0)
+    for rnd in range(1, nr + 1):
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _SBOX[s[r][c]]
+        for r in range(1, 4):
+            s[r] = s[r][r:] + s[r][:r]
+        if rnd != nr:
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
+                s[1][c] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
+                s[2][c] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
+                s[3][c] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+        ark(rnd)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_encrypt(key, iv, data):
+    from pdf_parser_spark.pdf.crypt import _expand_key
+
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    w, nr = _expand_key(key)
+    out = bytearray(iv)
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[off:off + 16], prev))
+        enc = _aes_encrypt_block(blk, w, nr)
+        out.extend(enc)
+        prev = enc
+    return bytes(out)
+
+
+def test_aes_fips_vector():
+    from pdf_parser_spark.pdf.crypt import _aes_decrypt_block, _expand_key
+
+    key = bytes(range(16))
+    w, nr = _expand_key(key)
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _aes_decrypt_block(ct, w, nr) == bytes.fromhex(
+        "00112233445566778899aabbccddeeff")
+    # round trip through the test encryptor
+    assert _aes_encrypt_block(bytes.fromhex(
+        "00112233445566778899aabbccddeeff"), w, nr) == ct
+
+
+def _mk_aes_pdf() -> bytes:
+    from pdf_parser_spark.pdf.crypt import (
+        _pad_password, object_key, rc4, standard_key,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (aes secret readable) Tj ET"
+    id0 = b"fedcba9876543210"
+    p = -44
+    r, bits = 4, 128
+    okey = hashlib.md5(_pad_password(b"")).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    n = bits // 8
+    o_entry = rc4(okey[:n], _pad_password(b""))
+    for i in range(1, 20):
+        o_entry = rc4(bytes(b ^ i for b in okey[:n]), o_entry)
+    fkey = standard_key(o_entry, p, id0, r, bits)
+    u = hashlib.md5(PAD + id0).digest()
+    u = rc4(fkey, u)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in fkey), u)
+    u_entry = u + b"\x00" * 16
+
+    def enc(num, data):
+        ok = hashlib.md5(
+            fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + b"sAlT").digest()[:16]
+        return _aes_cbc_encrypt(ok, b"\x00" * 16, data)
+
+    def hexs(b):
+        return b"<" + b.hex().encode() + b">"
+
+    out = bytearray(b"%PDF-1.6\n")
+    offsets = {}
+
+    def put(num, raw):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + raw + b"\nendobj\n")
+
+    put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    put(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    cs = enc(4, content)
+    put(4, b"<< /Length " + str(len(cs)).encode() + b" >>\nstream\n"
+           + cs + b"\nendstream")
+    put(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    put(6, b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+           b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> "
+           b"/StmF /StdCF /StrF /StdCF "
+           b"/O " + hexs(o_entry) + b" /U " + hexs(u_entry) +
+           b" /P " + str(p).encode() + b" >>")
+    xref_off = len(out)
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for i in range(1, 7):
+        out.extend(f"{offsets[i]:010d} 00000 n \n".encode())
+    out.extend(b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R /ID ["
+               + hexs(id0) + hexs(id0) + b"] >>\nstartxref\n"
+               + str(xref_off).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_aesv2_pdf():
+    from pdf_parser_spark.pdf.text import extract_document_text
+
+    assert extract_document_text(_mk_aes_pdf()) == "aes secret readable\n"
