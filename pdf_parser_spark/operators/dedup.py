@@ -409,37 +409,52 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word n-gram shingle SETS, via a
-    shingle-key self-join (id_a < id_b), keeping pairs ≥ threshold.
+    """Exact pairwise Jaccard over word n-gram shingle SETS
+    (id_a < id_b), keeping pairs ≥ threshold.
 
-    jaccard = |A∩B| / (|A| + |B| − |A∩B|), computed from the join
-    (intersection counts) plus per-doc distinct-shingle counts —
-    full texts never cross the shuffle, only (shingle_hash, id).
-    Shingles with document frequency > max_df are dropped before the
-    join (stop-shingle skew defusal; near-dup semantics unaffected for
-    thresholds this high since such shingles are corpus-wide).
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|): intersection counts come
+    from ONE shuffle on the shingle hash (groupBy → sorted member
+    list → native pair fan-out → count per pair), sizes from a
+    per-doc count — full texts never cross the wire, only
+    (shingle_hash, id). Buckets with document frequency > max_df are
+    dropped in the same aggregation (stop-shingle skew defusal: a
+    corpus-wide phrase would otherwise fan out quadratically; near-dup
+    semantics are unaffected at these thresholds).
     """
     shing = df.select(
         F.col(id_col),
         F.explode_outer(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
-    ).withColumn("sh", F.md5(F.col("sh")))
+    ).withColumn("sh", F.md5(F.col("sh"))).persist()  # shingling runs once,
+    # not once per downstream consumer (sizes / hot-set / pair fan-out)
     sizes = shing.groupBy(id_col).agg(
         F.count(F.col("sh")).alias("n_sh")
     )
-    hot = (
-        shing.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
+    # one shuffle on the shingle hash: per-shingle member lists, with
+    # the stop-shingle (df > max_df) defusal applied IN the same
+    # aggregation; pairs fan out natively from the sorted member array
+    buckets = (
+        shing.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    pruned = shing.join(F.broadcast(hot), "sh", "left_anti")
-    a, b = pruned.alias("a"), pruned.alias("b")
     inter = (
-        a.join(b, "sh")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"),
+                                               y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))

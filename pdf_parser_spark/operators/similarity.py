@@ -257,23 +257,36 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) found
-    via the banded LSH buckets: explode band keys → self-join on key →
-    distinct candidate pairs → exact cosine verification. The join
-    shuffles (short band key, id) only; vectors are re-read for the
-    verify join, never carried through the candidate shuffle."""
+    via the banded LSH buckets: ONE shuffle on the band key (groupBy →
+    sorted member list → native pair fan-out → distinct) and exact
+    cosine verification. Only (band key, id) crosses the candidate
+    shuffle; vectors are re-read for the verify join."""
     planes = hyperplanes(n_planes, dim)
     keyed = df.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col(vec_col), planes, n_bands)).alias("bk"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    buckets = (
+        keyed.groupBy("bk")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        a.join(b, "bk")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"),
+                                               y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
