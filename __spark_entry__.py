@@ -492,6 +492,8 @@ def _q_tables_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("n_unique"),
         (0.3 + ((F.col("url").cast("long") + F.col("table_id")) % 7) / 10.0)
         .alias("content_ratio"),
+        (((F.col("url").cast("long") + F.col("table_id") * 3) % 5) / 5.0)
+        .alias("header_like_ratio"),
     )
     return display_top3_native(stats).select(
         "url", "table_id", "accuracy", "rank"
@@ -571,16 +573,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _minhash_lsh_sql() -> str:
     sig = dedup.minhash_signature_sql("text")
     rows = dedup.N_HASHES // dedup.N_BANDS
+    # mirrors the Spark side exactly: the has-shingles predicate (docs
+    # with < shingle_n words never enter banding — otherwise the
+    # all-sentinel signature buckets every short doc together) and the
+    # MAX_BUCKET degenerate-bucket drop.
+    has_sh = (
+        "trim(text) != '' AND "
+        "len(string_split_regex(trim(text), '\\s+')) >= 5"
+    )
     return f"""
-WITH sig AS (SELECT doc_id, {sig} AS sig FROM documents),
+WITH sig AS (SELECT doc_id, {sig} AS sig FROM documents WHERE {has_sh}),
 bands AS (
   SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
          md5(array_to_string(list_slice(sig, b*{rows}+1, b*{rows}+{rows}), '|'))
          AS band_key
   FROM sig, (SELECT unnest([{", ".join(str(b) for b in range(dedup.N_BANDS))}]) AS b) t
+),
+ok AS (
+  SELECT band_key FROM bands GROUP BY band_key
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {dedup.MAX_BUCKET}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b USING (band_key)
+FROM bands a JOIN bands b USING (band_key) JOIN ok USING (band_key)
 WHERE a.doc_id < b.doc_id
 """
 
@@ -732,7 +746,8 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(2 + (doc_id + t.table_id) % 5 AS INT) AS n_rows,"
             "  2 AS n_cols,"
             "  CAST(3 + (doc_id * 3 + t.table_id) % 6 AS INT) AS n_unique,"
-            "  0.3 + ((doc_id + t.table_id) % 7) / 10.0 AS content_ratio"
+            "  0.3 + ((doc_id + t.table_id) % 7) / 10.0 AS content_ratio,"
+            "  ((doc_id + t.table_id * 3) % 5) / 5.0 AS header_like_ratio"
             "  FROM documents, (SELECT unnest([0,1,2,3]) AS table_id) t"
             ") SELECT url, table_id, accuracy, rank FROM ("
             "  SELECT url, table_id, accuracy, row_number() OVER ("
@@ -741,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
             "  ) AS rank FROM stats"
             "  WHERE n_rows >= 2 AND n_cols >= 2 AND accuracy >= 0.4"
             "    AND content_ratio >= 0.4 AND n_unique >= 4"
+            "    AND header_like_ratio <= 0.5"
             ") WHERE rank <= 3"
         ),
         "extract_pdf_tables": (

@@ -193,9 +193,20 @@ def lsh_band_keys(sig: Column, n_bands: int = N_BANDS,
     return F.array(*keys)
 
 
+#: LSH bucket-size cap. A band key shared by more than this many docs
+#: is a degenerate bucket (boilerplate-identical content — the NORMAL
+#: case in a web crawl): one collect_list row would hold millions of
+#: ids and the pair fan-out would go quadratic in a single task. Such
+#: buckets carry no ranking information anyway (everything in them is
+#: a duplicate of everything else), so they are dropped — the same
+#: stop-shingle defusal ngram_jaccard_pairs applies via max_df. Exact
+#: dedup (md5 groups) catches the identical-text mass separately.
+MAX_BUCKET = 1000
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 5,
+    shingle_n: int = 5, max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -205,7 +216,10 @@ def minhash_lsh_candidates(
     16-byte keys; signatures are computed exactly once (no self-join
     recomputation), and full texts never cross the wire. Docs with no
     shingles (< shingle_n words) are dropped first — at web scale the
-    empty-shingle sentinel bucket would otherwise go quadratic.
+    empty-shingle sentinel bucket would otherwise go quadratic — and
+    buckets larger than `max_bucket` are dropped entirely (see
+    MAX_BUCKET). The count of dropped buckets is observable via
+    `lsh_dropped_buckets` on the same input.
     """
     has_shingles = (F.trim(F.col(text_col)) != "") & (
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
@@ -216,10 +230,19 @@ def minhash_lsh_candidates(
         .alias("bands"),
     )
     exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
+    # Count-first gate BEFORE collect_list: the oversized member array
+    # is never materialized, not just filtered after the fact. Both
+    # aggregations and the semi-join hash-partition on band_key, so
+    # Catalyst reuses one Exchange — no extra shuffle.
+    ok_keys = (
+        exploded.groupBy("band_key").agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band_key")
+    )
     buckets = (
-        exploded.groupBy("band_key")
+        exploded.join(ok_keys, "band_key", "left_semi")
+        .groupBy("band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     pairs = buckets.select(
         F.explode(
@@ -239,22 +262,51 @@ def minhash_lsh_candidates(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def lsh_dropped_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 5, max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Observability companion to :func:`minhash_lsh_candidates`: one
+    row per band bucket dropped by the `max_bucket` cap, with its
+    member count — so a pipeline can log how much degenerate mass the
+    cap removed (at crawl scale this number is the boilerplate story,
+    not an error)."""
+    has_shingles = (F.trim(F.col(text_col)) != "") & (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
+    )
+    sig = df.where(has_shingles).select(
+        F.col(id_col),
+        lsh_band_keys(minhash_signature(F.col(text_col), shingle_n=shingle_n))
+        .alias("bands"),
+    )
+    return (
+        sig.select(id_col, F.explode("bands").alias("band_key"))
+        .groupBy("band_key").agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
+
+
 # ---------------------------------------------------------- clustering
 
 
 def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
-                   id_col_b: str = "id_b", max_iter: int = 6) -> DataFrame:
+                   id_col_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup candidate pairs →
     (doc_id, cluster_id) with cluster_id = min doc id in the component
-    (the canonical keeper).
+    (the canonical keeper). Runs min-label propagation TO CONVERGENCE
+    — the true component semantics, not a fixed round count (the
+    DuckDB twin is an exact recursive-reachability CTE, so the oracle
+    validates the semantics, not the iteration schedule).
 
-    Iterative min-label propagation, pure DataFrame ops: each round
-    joins every node's current label against its neighbors' labels and
-    takes the min; near-dup components are tiny (dozens at most), so a
-    handful of rounds reaches the fixpoint — `max_iter` bounds the
-    worst case. Each round is two shuffles on doc ids; labels are
-    8-byte longs, texts never move. (At true web scale swap in the
-    alternating large-star/small-star variant — same primitive ops.)
+    Pointer-jumping acceleration: each round takes the min over BOTH
+    the neighbors' labels and the label-of-own-label (the large-star
+    half of Kiveris et al.'s star contractions), so convergence needs
+    O(log diameter) rounds, not O(diameter) — a 1000-link chain of
+    near-dups converges in ~10 rounds. Each round is a few shuffles on
+    8-byte ids; texts never move; `localCheckpoint` truncates lineage
+    so total work stays O(rounds). `max_iter` is a hard safety bound:
+    if it is ever hit before the fixpoint a warning reports how many
+    labels were still moving.
     """
     edges = (
         pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
@@ -269,62 +321,67 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "b")
                        .withColumnRenamed("label", "nb_label"), "b")
             .groupBy("a").agg(F.min("nb_label").alias("min_nb"))
         )
-        new_labels = (
+        # label-of-label lookup (pointer jumping): my label's current
+        # label — shrinks label chains exponentially
+        lol = labels.select(F.col("id").alias("label"),
+                            F.col("label").alias("ll"))
+        upd = (
             labels.join(neigh.withColumnRenamed("a", "id"), "id", "left")
+            .join(lol, "label", "left")
             .select(
                 "id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("min_nb"), F.col("label")))
-                .alias("label"),
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("min_nb"), F.col("label")),
+                    F.coalesce(F.col("ll"), F.col("label")),
+                ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage: O(rounds) total work
+            .localCheckpoint()  # ONE job materializes the round; the
+            # convergence probe below scans the cached result only
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("label") != F.col("old_label")).count()
+        labels = upd.select("id", "label")
         if changed == 0:
             break
+    if changed != 0:  # pragma: no cover - safety bound, not expected
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: {changed} labels still changing after "
+            f"{max_iter} rounds; components may be split"
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
 
-def dedup_clusters_sql(pairs_sql: str, rounds: int = 6) -> str:
-    """DuckDB twin: the same fixed number of min-label rounds."""
-    q = f"""
-WITH pairs AS ({pairs_sql}),
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin: EXACT connected components via recursive
+    reachability (min reachable node id = cluster id) — validates the
+    converged semantics of :func:`dedup_clusters`, independent of its
+    iteration schedule."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
 ),
-l0 AS (SELECT DISTINCT a AS id, a AS label FROM edges)
-"""
-    prev = "l0"
-    for i in range(1, rounds + 1):
-        q += f""",
-l{i} AS (
-  SELECT p.id,
-         LEAST(p.label, COALESCE(MIN(n.label), p.label)) AS label
-  FROM {prev} p
-  LEFT JOIN edges e ON e.a = p.id
-  LEFT JOIN {prev} n ON n.id = e.b
-  GROUP BY p.id, p.label
+reach(id, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.node
 )
+SELECT id AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY id
 """
-        prev = f"l{i}"
-    q += f"SELECT id AS doc_id, label AS cluster_id FROM {prev}"
-    return q
 
 
 # ------------------------------------------------------------- simhash
@@ -432,12 +489,19 @@ def ngram_jaccard_pairs(
         F.count(F.col("sh")).alias("n_sh")
     )
     # one shuffle on the shingle hash: per-shingle member lists, with
-    # the stop-shingle (df > max_df) defusal applied IN the same
-    # aggregation; pairs fan out natively from the sorted member array
+    # the stop-shingle (df > max_df) defusal applied COUNT-FIRST so a
+    # corpus-wide shingle's member array is never materialized (the
+    # semi-join shares the shuffle key → one reused Exchange); pairs
+    # fan out natively from the sorted member array
+    ok_sh = (
+        shing.groupBy("sh").agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_df))
+        .select("sh")
+    )
     buckets = (
-        shing.groupBy("sh")
+        shing.join(ok_sh, "sh", "left_semi")
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
     inter = (
         buckets.select(
@@ -473,7 +537,7 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_pairs_sql(
     text_col: str = "text", id_col: str = "doc_id", table: str = "documents",
-    shingle_n: int = 3, threshold: float = 0.5,
+    shingle_n: int = 3, threshold: float = 0.5, max_df: int = 1000,
 ) -> str:
     sh_expr = word_shingles_sql(text_col, shingle_n)
     return f"""
@@ -483,9 +547,12 @@ WITH shing AS (
   )
 ), sizes AS (
   SELECT {id_col}, COUNT(sh) AS n_sh FROM shing GROUP BY {id_col}
+), ok AS (
+  SELECT sh FROM shing GROUP BY sh
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_df}
 ), inter AS (
   SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_common
-  FROM shing a JOIN shing b USING (sh)
+  FROM shing a JOIN shing b USING (sh) JOIN ok USING (sh)
   WHERE a.{id_col} < b.{id_col}
   GROUP BY 1, 2
 )

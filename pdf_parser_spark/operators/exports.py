@@ -468,10 +468,25 @@ def filter_tables_for_display(tables: List[dict]) -> List[dict]:
 
 def display_top3_native(tables_df: DataFrame) -> DataFrame:
     """X6 as a NATIVE Spark plan over a flat tables DataFrame
-    (url, table_id, accuracy, n_rows, n_cols, n_unique, content_ratio):
-    filter gates + row_number window — partial aggregation and a
-    single shuffle on url; this is the plan shape a 100 TB tables
-    corpus wants (no per-doc Python)."""
+    (url, table_id, accuracy, n_rows, n_cols, n_unique, content_ratio
+    [, header_like_ratio]): filter gates + row_number window — partial
+    aggregation and a single shuffle on url; this is the plan shape a
+    100 TB tables corpus wants (no per-doc Python).
+
+    The header-word gate (app.py:119-131: reject when more than half
+    the rows contain 'column'/'header'/'title'/...) is applied when the
+    stats contract carries `header_like_ratio` (header-like rows /
+    total rows — computable natively from exploded rows with
+    higher-order `exists` over _HEADER_WORDS); absent that column only
+    the numeric gates apply."""
+    gates = (
+        (F.col("n_rows") >= 2) & (F.col("n_cols") >= 2)
+        & (F.col("accuracy") >= 0.4)
+        & (F.col("content_ratio") >= 0.4)
+        & (F.col("n_unique") >= 4)
+    )
+    if "header_like_ratio" in tables_df.columns:
+        gates = gates & (F.col("header_like_ratio") <= 0.5)
     w = Window.partitionBy("url").orderBy(
         F.desc("accuracy"),
         F.desc(F.col("n_rows") * F.col("n_cols")),
@@ -480,10 +495,30 @@ def display_top3_native(tables_df: DataFrame) -> DataFrame:
     )
     return (
         tables_df
-        .where((F.col("n_rows") >= 2) & (F.col("n_cols") >= 2)
-               & (F.col("accuracy") >= 0.4)
-               & (F.col("content_ratio") >= 0.4)
-               & (F.col("n_unique") >= 4))
+        .where(gates)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+def header_like_ratio_col(rows_col: str = "rows"):
+    """Native header_like_ratio over an array<array<string>> rows
+    column: fraction of rows where any cell contains a header word
+    (app.py:119-126 semantics — cells lowercased+stripped, empty cells
+    ignored)."""
+    def _any_header_word(cell):
+        cond = F.lit(False)
+        for wd in _HEADER_WORDS:
+            cond = cond | cell.contains(wd)
+        return cond
+
+    def row_is_headerish(row):
+        return F.exists(
+            F.filter(row, lambda c: F.trim(c) != ""),
+            lambda c: _any_header_word(F.lower(F.trim(c))),
+        )
+
+    rows = F.col(rows_col)
+    n = F.size(rows)
+    n_headerish = F.size(F.filter(rows, row_is_headerish))
+    return F.when(n > 0, n_headerish / n).otherwise(F.lit(0.0))

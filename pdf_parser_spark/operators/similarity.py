@@ -247,6 +247,14 @@ def ann_lsh_topk_sql(
 # ------------------------------------------- embedding near-dup pairs
 
 
+#: bucket-size cap for the near-dup pair fan-out — a sign-LSH band
+#: bucket holding millions of near-identical embeddings (boilerplate
+#: pages, the normal crawl case) would otherwise materialize one giant
+#: array and a quadratic pair explosion in a single task. Mirrors
+#: operators.dedup.MAX_BUCKET.
+MAX_BUCKET = 1000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -255,21 +263,30 @@ def embedding_neardup_pairs(
     n_bands: int = N_BANDS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) found
     via the banded LSH buckets: ONE shuffle on the band key (groupBy →
     sorted member list → native pair fan-out → distinct) and exact
     cosine verification. Only (band key, id) crosses the candidate
-    shuffle; vectors are re-read for the verify join."""
+    shuffle; vectors are re-read for the verify join. Buckets larger
+    than `max_bucket` are dropped BEFORE member collection (count-first
+    semi-join on the same shuffle key — one reused Exchange), so the
+    degenerate array is never built."""
     planes = hyperplanes(n_planes, dim)
     keyed = df.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col(vec_col), planes, n_bands)).alias("bk"),
     )
+    ok_keys = (
+        keyed.groupBy("bk").agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("bk")
+    )
     buckets = (
-        keyed.groupBy("bk")
+        keyed.join(ok_keys, "bk", "left_semi")
+        .groupBy("bk")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     cand = (
         buckets.select(
@@ -307,6 +324,7 @@ def embedding_neardup_pairs_sql(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     table: str = "embeddings",
+    max_bucket: int = MAX_BUCKET,
 ) -> str:
     planes = hyperplanes(n_planes, dim)
     keys = lsh_band_keys_sql(vec_col, planes, n_bands)
@@ -314,9 +332,12 @@ def embedding_neardup_pairs_sql(
     return f"""
 WITH keyed AS (
   SELECT {id_col}, unnest({keys_arr}) AS bk FROM {table}
+), ok AS (
+  SELECT bk FROM keyed GROUP BY bk
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
 ), cand AS (
   SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-  FROM keyed a JOIN keyed b USING (bk)
+  FROM keyed a JOIN keyed b USING (bk) JOIN ok USING (bk)
   WHERE a.{id_col} < b.{id_col}
 )
 SELECT id_a, id_b, round({cosine_sql('va.' + vec_col, 'vb.' + vec_col)}, 6) AS cos_sim

@@ -1,10 +1,14 @@
 """North-rule skew defusal: salted repartition by url-hash must spread
 a pathologically skewed crawl (one host's giant documents arriving
-consecutively) evenly across partitions."""
+consecutively) evenly across partitions; LSH bucket caps must drop
+degenerate (boilerplate-identical) buckets instead of fanning out
+quadratically; clustering must converge past any fixed round count."""
 
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.jobs.extract import salted_repartition
+from pdf_parser_spark.operators import dedup
+from pdf_parser_spark.operators import similarity as sim
 
 
 def _partition_byte_sums(df):
@@ -40,3 +44,43 @@ def test_salting_spreads_clustered_giants(spark):
     # salted: the heaviest partition carries a bounded share
     assert max(salted_sums) < 0.35 * total
     assert len(salted_sums) == n_parts
+
+
+def test_lsh_bucket_cap_drops_degenerate_band(spark):
+    # 30 boilerplate-identical docs: every band key collides -> one
+    # degenerate bucket that would fan out 30*29/2 pairs per band
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, base) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_candidates(df)  # default cap 1000
+    assert uncapped.count() == 30 * 29 // 2
+    capped = dedup.minhash_lsh_candidates(df, max_bucket=10)
+    assert capped.count() == 0
+    # the drop is observable, not silent
+    dropped = dedup.lsh_dropped_buckets(df, max_bucket=10).collect()
+    assert len(dropped) == dedup.N_BANDS  # all 4 bands degenerate
+    assert all(r.n == 30 for r in dropped)
+
+
+def test_embedding_bucket_cap(spark):
+    rows = [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = sim.embedding_neardup_pairs(df, threshold=0.9, dim=4)
+    assert uncapped.count() == 20 * 19 // 2
+    capped = sim.embedding_neardup_pairs(df, threshold=0.9, dim=4,
+                                         max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_cluster_chain_past_fixed_rounds(spark):
+    # path-shaped component 0-1-2-...-19: diameter 19 exceeds the old
+    # fixed 6-round schedule; convergence + pointer jumping must still
+    # collapse it to ONE cluster labeled by the min id
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(pairs).collect()
+    assert len(out) == 20
+    assert {r.cluster_id for r in out} == {0}
