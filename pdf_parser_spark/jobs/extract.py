@@ -196,9 +196,13 @@ def extract_documents(
 
 # ---------------------------------------------------------------- lineage
 
+#: run_wall_sec is the RUN's wall clock (identical on every bucket row
+#: of a run_id) — per-bucket timing would need task-level metrics; the
+#: per-run number is what the resume/throughput accounting uses.
 LINEAGE_SCHEMA = (
     "run_id string, url_bucket int, n_docs long, n_bytes long, "
-    "n_errors long, n_pdf long, n_html long, wall_sec double, status string"
+    "n_errors long, n_pdf long, n_html long, run_wall_sec double, "
+    "status string"
 )
 
 
@@ -228,28 +232,39 @@ def run_extract_job(
     the `pages LEFT ANTI JOIN lineage` design from the north rule. The
     done-bucket side is tiny (≤ n_buckets rows) → broadcast join, no
     shuffle of the big side.
+
+    SINGLE extraction pass: documents are persisted (memory+disk
+    spill), the parquet write materializes them, and lineage is
+    aggregated FROM THE SAME cached DataFrame — the written output is
+    never re-scanned and no extra count() job runs (doc totals derive
+    from the ≤ n_buckets lineage rows). Lineage rows APPEND per run,
+    so a resume run only writes its own buckets' rows.
     """
+    from pyspark import StorageLevel
+
     t0 = time.time()
     pages = spark.read.parquet(pages_path).withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
-    done = completed_buckets(spark, os.path.join(out_dir, "lineage.parquet"))
+    lineage_path = os.path.join(out_dir, "lineage.parquet")
+    done = completed_buckets(spark, lineage_path)
     if done is not None:
         pages = pages.join(F.broadcast(done), "url_bucket", "left_anti")
     if limit_buckets is not None:  # partial run (used to demo resume)
         pages = pages.filter(F.col("url_bucket") < limit_buckets)
 
-    docs = extract_documents(pages, partitions=partitions)
+    docs = extract_documents(pages, partitions=partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docs_path = os.path.join(out_dir, "documents.parquet")
-    docs.write.mode("append").parquet(docs_path)
+    docs.write.mode("append").parquet(docs_path)  # the ONE extraction job
 
-    written = spark.read.parquet(docs_path)
-    wall = time.time() - t0
-    lineage_rows = (
-        written.withColumn(
-            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    # per-bucket lineage from the cached plan — tiny result, collected
+    bucket_stats = (
+        docs.groupBy(
+            F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            .alias("url_bucket")
         )
-        .groupBy("url_bucket")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_bytes").alias("n_bytes"),
@@ -257,17 +272,25 @@ def run_extract_job(
             F.sum(F.when(F.col("kind") == "pdf", 1).otherwise(0)).alias("n_pdf"),
             F.sum(F.when(F.col("kind") == "html", 1).otherwise(0)).alias("n_html"),
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("wall_sec", F.lit(float(wall)))
-        .withColumn("status", F.lit("ok"))
-        .select(
-            "run_id", "url_bucket", "n_docs", "n_bytes", "n_errors",
-            "n_pdf", "n_html", "wall_sec", "status",
-        )
+        .collect()
     )
-    lineage_rows.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineage.parquet")
+    docs.unpersist()
+    wall = time.time() - t0
+    lineage_rows = spark.createDataFrame(
+        [
+            (run_id, r.url_bucket, r.n_docs, r.n_bytes, r.n_errors,
+             r.n_pdf, r.n_html, float(wall), "ok")
+            for r in bucket_stats
+        ],
+        LINEAGE_SCHEMA,
     )
-    n = written.count()
-    return {"run_id": run_id, "n_docs": n, "wall_sec": wall,
-            "docs_per_sec": n / wall if wall > 0 else 0.0}
+    lineage_rows.write.mode("append").parquet(lineage_path)
+    n_run = sum(r.n_docs for r in bucket_stats)
+    # cumulative total from the (tiny) lineage table, NOT a rescan of
+    # the documents output
+    n_total = (
+        spark.read.parquet(lineage_path).agg(F.sum("n_docs")).first()[0] or 0
+    )
+    return {"run_id": run_id, "n_docs": int(n_total), "n_docs_run": int(n_run),
+            "wall_sec": wall,
+            "docs_per_sec": n_run / wall if wall > 0 else 0.0}
