@@ -406,6 +406,388 @@ def _q_extract_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 stream-flavour table detection (reference
+    table_extractor.py:95-98,166-168) in the correctness gate: build
+    RULE-FREE PDFs whose cell text is aligned in columns (datagen
+    draw_rules=False), so the lattice detector finds nothing and the
+    whitespace-alignment stream fallback fires. Deterministic layout:
+    one table of 4 rows (the page's text line lands in row 0 col 0) x
+    3 cols, whitespace 16.67, labeled camelot-lattice per the
+    preserved self.flavour quirk (table_extractor.py:197)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark.datagen.pdfgen import build_pdf
+        from pdf_parser_spark.operators.tables import extract_tables
+
+        for b in batches:
+            out = []
+            for i, text in zip(b["doc_id"], b["text"]):
+                ws = text.split()
+                pdf = build_pdf(
+                    [[text]],
+                    {0: (ws[0:3], [ws[3:6], ws[6:9]])},
+                    {"Title": f"doc-{int(i)}"},
+                    draw_rules=False,
+                )
+                ts = extract_tables(pdf, apply_filter=False)
+                t0 = ts[0] if ts else {
+                    "shape": (0, 0), "rows": [], "whitespace": None,
+                    "extraction_method": "",
+                }
+                rows = t0["rows"]
+                out.append({
+                    "doc_id": int(i),
+                    "n_tables": len(ts),
+                    "n_rows": t0["shape"][0],
+                    "n_cols": t0["shape"][1],
+                    "whitespace": t0["whitespace"],
+                    "method": t0["extraction_method"],
+                    "row0_first": rows[0][0] if rows else "",
+                    "row1_csv": "|".join(rows[1]) if len(rows) > 1 else "",
+                    "row2_csv": "|".join(rows[2]) if len(rows) > 2 else "",
+                    "row3_csv": "|".join(rows[3]) if len(rows) > 3 else "",
+                })
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, n_tables int, n_rows int, n_cols int, "
+        "whitespace double, method string, row0_first string, "
+        "row1_csv string, row2_csv string, row3_csv string",
+    )
+
+
+def _q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 merge (reference table_extractor.py:252-309) as the REAL
+    operator over synthetic per-doc lattice+stream descriptors: page 1
+    carries a lattice table of (2+doc_id%3)x2 cells and a 3x2 stream
+    table (the 70%-cell rule flips on doc_id%3), page 2 lattice-only,
+    page 3 stream-only (always added)."""
+
+    @F.pandas_udf("n_merged int, tags_csv string")
+    def x4_udf(ids: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.tables import merge_table_results
+
+        def mk(tag, page, nr, nc):
+            rws = [[f"{tag}{r}_{c}" for c in range(nc)] for r in range(nr)]
+            return {"page": page, "rows": rws, "shape": (nr, nc),
+                    "headers": list(rws[0]), "accuracy": 90.0}
+
+        out = []
+        for d in ids:
+            d = int(d)
+            lat = [mk("L", 1, 2 + d % 3, 2), mk("M", 2, 2, 2)]
+            st = [mk("S", 1, 3, 2), mk("T", 3, 4, 2)]
+            merged = merge_table_results(lat, st)
+            tags = [t["rows"][0][0][0] for t in merged]
+            out.append({"n_merged": len(merged), "tags_csv": "|".join(tags)})
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select("doc_id", x4_udf("doc_id").alias("m"))
+    return d.select("doc_id", "m.n_merged", "m.tags_csv")
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 quality filter (reference table_extractor.py:311-404) as the
+    REAL operator over five synthetic tables per doc: a clean keeper,
+    a <2-row reject, an accuracy reject that flips on doc parity
+    (0.2 vs 0.4 around the preserved 0.3 unit-bug threshold), a
+    >60%-empty reject, and a table that gets re-cleaned/re-shaped with
+    synthesized 'Column N' headers."""
+
+    @F.pandas_udf(
+        "n_kept int, kept_first_csv string, good_headers string, "
+        "reshape_headers string, reshape_n_rows int"
+    )
+    def x5_udf(ids: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.tables import filter_tables_by_quality
+
+        out = []
+        for d in ids:
+            d = int(d)
+            tabs = [
+                {"rows": [["g0", "g1"], ["g2", "g3"], ["g4", "g5"]],
+                 "shape": (3, 2), "accuracy": 95.0, "headers": ["h1", "h2"]},
+                {"rows": [["x0", "x1"]], "shape": (1, 2), "accuracy": 95.0,
+                 "headers": []},
+                {"rows": [["a0", "a1"], ["a2", "a3"]], "shape": (2, 2),
+                 "accuracy": 0.2 + (d % 2) * 0.2, "headers": []},
+                {"rows": [["e0", "", ""], ["", "", ""], ["", "", "e1"]],
+                 "shape": (3, 3), "accuracy": 95.0, "headers": []},
+                {"rows": [[" r0 ", "r1"], ["", ""], [None, "r2"],
+                          ["r3", "r4"]],
+                 "shape": (4, 2), "accuracy": 50.0, "headers": None},
+            ]
+            kept = filter_tables_by_quality(tabs)
+            reshape = kept[-1]
+            out.append({
+                "n_kept": len(kept),
+                "kept_first_csv": "|".join(t["rows"][0][0] for t in kept),
+                "good_headers": "|".join(kept[0]["headers"]),
+                "reshape_headers": "|".join(reshape["headers"]),
+                "reshape_n_rows": reshape["shape"][0],
+            })
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select("doc_id", x5_udf("doc_id").alias("m"))
+    return d.select("doc_id", "m.n_kept", "m.kept_first_csv",
+                    "m.good_headers", "m.reshape_headers", "m.reshape_n_rows")
+
+
+def _q_format_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 pandas-semantics CSV formatting (reference
+    csv_exporter.py:17-110) as the REAL operator: a table with a
+    >50%-numeric column containing a gap exercises the ''→None→'None'
+    artifact, the NA-aware float render (repr(v) → '7.0'), and the
+    single-table filename suffix drop (csv_exporter.py:36-37)."""
+
+    @F.pandas_udf(
+        "headers_csv string, row1_csv string, row2_csv string, "
+        "row3_csv string, names_csv string"
+    )
+    def e2_udf(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import (
+            export_tables_to_csv, format_table,
+        )
+
+        out = []
+        for i, text in zip(ids, texts):
+            d = int(i)
+            ws = text.split()
+            t = {"headers": ["name", "count", "price"],
+                 "rows": [[ws[0], str(d), str(d * 3)],
+                          [ws[1], "", str(d * 5)],
+                          [ws[2], str(d + 2), ""]]}
+            cols, grid = format_table(t)
+            files = export_tables_to_csv(
+                [t] if d % 2 == 0 else [t, t], f"doc_{d}")
+            out.append({
+                "headers_csv": "|".join(cols),
+                "row1_csv": "|".join(grid[0]),
+                "row2_csv": "|".join(grid[1]),
+                "row3_csv": "|".join(grid[2]),
+                "names_csv": "|".join(sorted(files)),
+            })
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", e2_udf("doc_id", "text").alias("m"))
+    return d.select("doc_id", "m.headers_csv", "m.row1_csv", "m.row2_csv",
+                    "m.row3_csv", "m.names_csv")
+
+
+def _q_best_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 consolidated best-table choice (reference
+    csv_converter.py:42-80) as the REAL operator: three synthetic
+    tables — A (3x2, 6 distinct cells), B (4x2, 4+doc_id%4 distinct
+    cells), C (gate-fail) — so the (diversity, content_ratio) sort
+    flips winners on doc_id%4 and the stable-sort tie at 6 keeps A."""
+
+    @F.pandas_udf("winner string, n_qualified int")
+    def e4_udf(ids: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import select_best_table
+
+        out = []
+        for i in ids:
+            d = int(i)
+            k = 4 + d % 4
+            A = {"rows": [[f"a{r*2}", f"a{r*2+1}"] for r in range(3)],
+                 "shape": (3, 2), "accuracy": 1.0}
+            B = {"rows": [[f"b{(r*2) % k}", f"b{(r*2+1) % k}"]
+                          for r in range(4)],
+                 "shape": (4, 2), "accuracy": 1.0}
+            C = {"rows": [["c0", "c1"], ["c2", "c3"]], "shape": (2, 2),
+                 "accuracy": 1.0}
+            best = select_best_table([A, B, C])
+            out.append({"winner": best["rows"][0][0][0], "n_qualified": 2})
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select("doc_id", e4_udf("doc_id").alias("m"))
+    return d.select("doc_id", "m.winner", "m.n_qualified")
+
+
+def _csvtext_col():
+    """3 comma-delimited lines from the doc's first 9 words (shared by
+    the E5/E7 queries and their oracles)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    line = lambda i: F.concat_ws(  # noqa: E731
+        ",", F.element_at(words, i), F.element_at(words, i + 1),
+        F.element_at(words, i + 2))
+    return F.concat_ws("\n", line(1), line(4), line(7))
+
+
+def _q_text_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 text→table inference (reference csv_converter.py:172-236):
+    the REAL four-heuristic scorer over deterministic comma-delimited
+    text — the delimiter heuristic wins (consistent ',' x2 per line,
+    score 12 > 10) and yields the exact 3x3 word grid."""
+
+    @F.pandas_udf(
+        "n_rows int, n_cols int, row1_csv string, row2_csv string, "
+        "row3_csv string"
+    )
+    def e5_udf(texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import text_to_table
+
+        out = []
+        for t in texts:
+            data = text_to_table(t)
+            out.append({
+                "n_rows": len(data),
+                "n_cols": len(data[0]) if data else 0,
+                "row1_csv": "|".join(data[0]) if data else "",
+                "row2_csv": "|".join(data[1]) if len(data) > 1 else "",
+                "row3_csv": "|".join(data[2]) if len(data) > 2 else "",
+            })
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", e5_udf(_csvtext_col()).alias("m"))
+    return d.select("doc_id", "m.n_rows", "m.n_cols", "m.row1_csv",
+                    "m.row2_csv", "m.row3_csv")
+
+
+def _q_result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 JSON sink (reference cli.py:16-38): the REAL serializer
+    (indent=2, default=str, langchain_docs dropped) on a ParseResult
+    built from the doc; the oracle reconstructs the exact JSON text."""
+
+    @F.pandas_udf("json_len int, json_md5 string")
+    def e6_udf(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from pdf_parser_spark.operators.exports import render_result_json
+
+        out = []
+        for t in texts:
+            result = {"text": t, "num_chunks": len(t.split()),
+                      "ocr_used": False, "langchain_docs": object()}
+            js = render_result_json(result)
+            out.append({"json_len": len(js),
+                        "json_md5": hashlib.md5(js.encode()).hexdigest()})
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select("doc_id", e6_udf("text").alias("m"))
+    return d.select("doc_id", "m.json_len", "m.json_md5")
+
+
+def _q_json_csv_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 JSON→CSV fan-out (reference csv_exporter.py:193-242): the
+    REAL fan-out over a result carrying comma-structured text and the
+    quirk chunks ['', text] — the empty first chunk is skipped
+    (:233), yielding exactly a _text.csv and a _chunk_2_text.csv with
+    identical content."""
+
+    @F.pandas_udf("n_files int, names_csv string, text_csv string")
+    def e7_udf(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import export_result_as_csvs
+
+        out = []
+        for i, t in zip(ids, texts):
+            d = int(i)
+            files = export_result_as_csvs(
+                {"text": t, "chunks": ["", t]}, f"doc_{d}")
+            out.append({
+                "n_files": len(files),
+                "names_csv": "|".join(sorted(files)),
+                "text_csv": files[f"doc_{d}_text.csv"],
+            })
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", e7_udf("doc_id", _csvtext_col()).alias("m"))
+    return d.select("doc_id", "m.n_files", "m.names_csv", "m.text_csv")
+
+
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 JSON round-trip: write the documents as JSON, read them back
+    through spark.read.json, and re-run the E7 text export on the
+    round-tripped rows — covering the reference's reload-a-saved-
+    result path (csv_exporter.py:211-213)."""
+    import os
+
+    out_dir = "/tmp/s5_roundtrip_" + os.path.basename(
+        os.path.normpath(sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    docs.coalesce(4).write.mode("overwrite").json(out_dir)
+    back = spark.read.json(out_dir)
+
+    @F.pandas_udf("n_files int, total_bytes int")
+    def e7_udf(texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import export_result_as_csvs
+
+        out = []
+        for t in texts:
+            files = export_result_as_csvs({"text": t, "chunks": ["", t]},
+                                          "doc")
+            out.append({"n_files": len(files),
+                        "total_bytes": sum(len(v) for v in files.values())})
+        return pd.DataFrame(out)
+
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.length("text").alias("text_len"),
+        e7_udf("text").alias("m"),
+    ).select("doc_id", "lang", "text_len", "m.n_files", "m.total_bytes")
+
+
+def _q_chunk_multi_para(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 general multi-paragraph path (reference pdf_parser.py:167-205):
+    every word becomes a paragraph ('\\n\\n'-joined), chunk_size=30 and
+    overlap=10 force repeated flushes and overlap re-seeding; the
+    oracle replays the greedy packing as a DuckDB list_reduce fold."""
+    chunk_udf = make_chunk_udf(30, 10)
+    paras = F.array_join(F.split(F.trim(F.col("text")), r"\s+"), "\n\n")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", chunk_udf(paras).alias("chunks"))
+    return d.select(
+        "doc_id",
+        F.size("chunks").alias("num_chunks"),
+        F.concat_ws(",", F.transform("chunks", F.length)).alias("chunk_lens"),
+    )
+
+
+def _q_ocr_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7-T9 OCR family (reference ocr_processor.py:99-134 +
+    pdf_parser.py:318-332) with the injectable deterministic fake
+    engine: two-page PDFs, page 2 fails for doc_id%5==0 so the
+    'Error processing page {n}: ...' embedding is exercised; merged
+    text runs through T2 clean exactly like the native path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark.datagen.pdfgen import build_pdf
+        from pdf_parser_spark.functions.clean import clean_text
+        from pdf_parser_spark.operators.ocr import (
+            FakeOcrEngine, merge_ocr_text, ocr_pdf,
+        )
+
+        for b in batches:
+            out = []
+            for i, text in zip(b["doc_id"], b["text"]):
+                d = int(i)
+                ws = text.split()
+                pdf = build_pdf([[text], ["tail " + ws[0]]], {},
+                                {"Title": f"doc-{d}"})
+                eng = FakeOcrEngine(fail_pages=(2,) if d % 5 == 0 else ())
+                by_page = ocr_pdf(pdf, engine=eng)
+                out.append({
+                    "doc_id": d,
+                    "ocr_text": clean_text(merge_ocr_text(by_page)),
+                    "n_pages_ocr": len(by_page),
+                    "n_errors": sum(
+                        1 for v in by_page.values()
+                        if v.startswith("Error processing page")),
+                })
+            yield pd.DataFrame(out)
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, ocr_text string, n_pages_ocr int, n_errors int",
+    )
+
+
 def _q_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 recursive splitter (reference langchain_parser.py:58-74) on
     the documents' texts: every sf text fits one chunk, so the oracle
@@ -562,6 +944,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_split": _q_recursive_split,
         "pdf_pages_text": _q_pdf_pages_text,
         "extract_pdf_tables": _q_extract_pdf_tables,
+        "stream_tables": _q_stream_tables,
+        "merge_tables": _q_merge_tables,
+        "quality_filter": _q_quality_filter,
+        "format_tables_csv": _q_format_tables_csv,
+        "best_table": _q_best_table,
+        "text_to_table": _q_text_to_table,
+        "result_json": _q_result_json,
+        "json_csv_fanout": _q_json_csv_fanout,
+        "json_roundtrip": _q_json_roundtrip,
+        "chunk_multi_para": _q_chunk_multi_para,
+        "ocr_pdf_docs": _q_ocr_pdf,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -622,6 +1015,50 @@ def _frame_sample_sql() -> str:
     return f"""
 SELECT doc_id AS media_id, unnest(range(0, 1 + {n} % 32, 4)) AS frame_idx
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def _chunk_fold_sql() -> str:
+    """DuckDB replay of the T3 greedy packing (chunk_size=30,
+    overlap=10) as a list_reduce fold over the word-paragraph list.
+    Accumulator is encoded as one VARCHAR: current_chunk || chr(1) ||
+    emitted_lens_csv (chr(1) never occurs in the data)."""
+    cur = "split_part(acc, chr(1), 1)"
+    lens = "split_part(acc, chr(1), 2)"
+    emit = f"CAST(len(trim({cur}, ' ' || chr(10))) AS VARCHAR)"
+    fold = f"""
+list_reduce(
+  list_prepend(chr(1), ws),
+  (acc, w) -> CASE
+    WHEN len({cur}) + len(w) > 30 THEN
+      (CASE WHEN len({cur}) > 10
+            THEN right({cur}, 10) || chr(10) || chr(10) || w
+            ELSE w END)
+      || chr(1) ||
+      (CASE WHEN {lens} = '' THEN '' ELSE {lens} || ',' END) || {emit}
+    ELSE
+      (CASE WHEN {cur} = '' THEN w
+            ELSE {cur} || chr(10) || chr(10) || w END)
+      || chr(1) || {lens}
+  END
+)"""
+    fcur = "split_part(folded, chr(1), 1)"
+    flens = "split_part(folded, chr(1), 2)"
+    femit = f"CAST(len(trim({fcur}, ' ' || chr(10))) AS VARCHAR)"
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+           FROM documents),
+f AS (SELECT doc_id, ({fold}) AS folded FROM w),
+l AS (SELECT doc_id,
+  CASE WHEN {fcur} = '' THEN {flens}
+       WHEN {flens} = '' THEN {femit}
+       ELSE {flens} || ',' || {femit} END AS chunk_lens
+  FROM f)
+SELECT doc_id,
+  CAST(len(chunk_lens) - len(replace(chunk_lens, ',', '')) + 1 AS INT)
+    AS num_chunks,
+  chunk_lens
+FROM l
 """
 
 
@@ -766,6 +1203,102 @@ def oracle_sql() -> dict[str, str]:
             "ws[1] || '|' || ws[2] || '|' || ws[3] AS row1_csv, "
             "ws[4] || '|' || ws[5] || '|' || ws[6] AS row2_csv, "
             "ws[7] || '|' || ws[8] || '|' || ws[9] AS row3_csv FROM w"
+        ),
+        "stream_tables": (
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, 1 AS n_tables, 4 AS n_rows, 3 AS n_cols, "
+            "CAST(16.67 AS DOUBLE) AS whitespace, "
+            "'camelot-lattice' AS method, text AS row0_first, "
+            "ws[1] || '|' || ws[2] || '|' || ws[3] AS row1_csv, "
+            "ws[4] || '|' || ws[5] || '|' || ws[6] AS row2_csv, "
+            "ws[7] || '|' || ws[8] || '|' || ws[9] AS row3_csv FROM w"
+        ),
+        "merge_tables": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) "
+            "AS n_merged, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'L|M|S|T' ELSE 'L|M|T' END "
+            "AS tags_csv FROM documents"
+        ),
+        "quality_filter": (
+            "SELECT doc_id, "
+            "CAST(2 + doc_id % 2 AS INT) AS n_kept, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'g0|r0' ELSE 'g0|a0|r0' END "
+            "AS kept_first_csv, "
+            "'h1|h2' AS good_headers, "
+            "'Column 1|Column 2' AS reshape_headers, "
+            "3 AS reshape_n_rows FROM documents"
+        ),
+        "format_tables_csv": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, 'name|count|price' AS headers_csv, "
+            "ws[1] || '|' || CAST(doc_id AS VARCHAR) || '.0|' "
+            "|| CAST(doc_id * 3 AS VARCHAR) || '.0' AS row1_csv, "
+            "ws[2] || '||' || CAST(doc_id * 5 AS VARCHAR) || '.0' "
+            "AS row2_csv, "
+            "ws[3] || '|' || CAST(doc_id + 2 AS VARCHAR) || '.0|' "
+            "AS row3_csv, "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN 'doc_' || CAST(doc_id AS VARCHAR) || '.csv' "
+            "ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '_table_1.csv|doc_' "
+            "|| CAST(doc_id AS VARCHAR) || '_table_2.csv' END AS names_csv "
+            "FROM w"
+        ),
+        "best_table": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 3 THEN 'b' ELSE 'a' END AS winner, "
+            "2 AS n_qualified FROM documents"
+        ),
+        "text_to_table": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, 3 AS n_rows, 3 AS n_cols, "
+            "ws[1] || '|' || ws[2] || '|' || ws[3] AS row1_csv, "
+            "ws[4] || '|' || ws[5] || '|' || ws[6] AS row2_csv, "
+            "ws[7] || '|' || ws[8] || '|' || ws[9] AS row3_csv FROM w"
+        ),
+        "result_json": (
+            "WITH j AS (SELECT doc_id, "
+            "'{' || chr(10) || '  \"text\": \"' || text || '\",' || chr(10) "
+            "|| '  \"num_chunks\": ' || CAST(len(string_split_regex("
+            "trim(text), '\\s+')) AS VARCHAR) || ',' || chr(10) "
+            "|| '  \"ocr_used\": false' || chr(10) || '}' AS js "
+            "FROM documents) "
+            "SELECT doc_id, CAST(len(js) AS INT) AS json_len, "
+            "md5(js) AS json_md5 FROM j"
+        ),
+        "json_csv_fanout": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, 2 AS n_files, "
+            "'doc_' || CAST(doc_id AS VARCHAR) || '_chunk_2_text.csv|doc_' "
+            "|| CAST(doc_id AS VARCHAR) || '_text.csv' AS names_csv, "
+            "ws[1] || ',' || ws[2] || ',' || ws[3] || chr(10) "
+            "|| ws[4] || ',' || ws[5] || ',' || ws[6] || chr(10) "
+            "|| ws[7] || ',' || ws[8] || ',' || ws[9] || chr(10) "
+            "AS text_csv FROM w"
+        ),
+        "json_roundtrip": (
+            "SELECT doc_id, lang, length(text) AS text_len, "
+            "2 AS n_files, "
+            "CAST(2 * (length(text) + 3) AS INT) AS total_bytes "
+            "FROM documents"
+        ),
+        "chunk_multi_para": _chunk_fold_sql(),
+        "ocr_pdf_docs": (
+            "WITH w AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 5 = 0 "
+            "THEN '[ocr] ' || text || chr(10) || "
+            "'Error processing page 2: fake raster decode failure' "
+            "ELSE '[ocr] ' || text || chr(10) || '[ocr] tail ' || ws[1] "
+            "END AS ocr_text, "
+            "2 AS n_pages_ocr, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) "
+            "AS n_errors FROM w"
         ),
         "recursive_split": (
             "SELECT doc_id, 1 AS n_chunks, trim(text) AS first_chunk "

@@ -28,8 +28,11 @@ def _page_stream(
     table: Optional[Tuple[Sequence[str], Sequence[Sequence[str]]]] = None,
     font_size: int = 11,
     leading: int = 14,
+    draw_rules: bool = True,
 ) -> bytes:
-    """Content stream: one Tj per text line, then an optional ruled table."""
+    """Content stream: one Tj per text line, then an optional table —
+    ruled (vector-stroke grid, lattice flavour) or rule-free aligned
+    cell text (whitespace-alignment, stream flavour)."""
     out: List[str] = ["BT", f"/F1 {font_size} Tf", f"1 0 0 1 72 {PAGE_H - 72} Tm"]
     for ln in lines:
         out.append(f"({_esc(ln)}) Tj")
@@ -44,15 +47,17 @@ def _page_stream(
         y_top = PAGE_H - 72 - leading * (len(lines) + 2)
         y0 = y_top - row_h * nrows
         x1 = x0 + col_w * ncols
-        # grid rules as vector strokes (what camelot's lattice flavour
-        # detects from the rasterized page; we detect them geometrically)
-        out.append("0.75 w")
-        for r in range(nrows + 1):
-            y = y_top - row_h * r
-            out.append(f"{x0:.1f} {y:.1f} m {x1:.1f} {y:.1f} l S")
-        for c in range(ncols + 1):
-            x = x0 + col_w * c
-            out.append(f"{x:.1f} {y0:.1f} m {x:.1f} {y_top:.1f} l S")
+        if draw_rules:
+            # grid rules as vector strokes (what camelot's lattice
+            # flavour detects from the rasterized page; we detect them
+            # geometrically)
+            out.append("0.75 w")
+            for r in range(nrows + 1):
+                y = y_top - row_h * r
+                out.append(f"{x0:.1f} {y:.1f} m {x1:.1f} {y:.1f} l S")
+            for c in range(ncols + 1):
+                x = x0 + col_w * c
+                out.append(f"{x:.1f} {y0:.1f} m {x:.1f} {y_top:.1f} l S")
         # cell text
         for r, row in enumerate([list(headers)] + [list(r) for r in rows]):
             y = y_top - row_h * r - 13
@@ -69,11 +74,14 @@ def build_pdf(
     pages: Sequence[Sequence[str]],
     tables: Optional[dict] = None,
     info: Optional[dict] = None,
+    draw_rules: bool = True,
 ) -> bytes:
     """Assemble a classic-xref PDF.
 
     pages: list of pages, each a list of text lines.
-    tables: {page_index: (headers, rows)} ruled grids to draw.
+    tables: {page_index: (headers, rows)} cell grids to draw —
+            vector-ruled when draw_rules (lattice detector input),
+            aligned text only otherwise (stream detector input).
     info:   /Info dictionary string fields (Title, Producer, ...).
     """
     tables = tables or {}
@@ -90,7 +98,7 @@ def build_pdf(
     page_nums: List[int] = []
     content_nums: List[int] = []
     for i, lines in enumerate(pages):
-        raw = _page_stream(lines, tables.get(i))
+        raw = _page_stream(lines, tables.get(i), draw_rules=draw_rules)
         comp = zlib.compress(raw, 9)
         content_nums.append(
             add(

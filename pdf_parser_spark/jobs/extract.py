@@ -55,17 +55,29 @@ DOCUMENTS_COLUMNS = [
 ]
 
 
-def extract_one(payload: Optional[bytes]) -> dict:
+def extract_one(payload: Optional[bytes], force_ocr: bool = False,
+                ocr_engine=None) -> dict:
     """Per-document extraction core (runs inside the Arrow batch loop).
 
     Mirrors parse_pdf's stages A (text) + C (metadata) + D (tables)
     for PDF payloads; T10 boilerplate strip for HTML payloads.
+
+    force_ocr mirrors the reference's force-OCR branch
+    (pdf_parser.py:318-332): native extraction still runs, and the OCR
+    page texts (T8 per-page loop with error embedding) are merged (T9)
+    into an additional `ocr_raw_text` + `ocr_by_page`; an engine
+    failure lands in `ocr_error` (pdf_parser.py:331-332), never
+    aborting the document.  `ocr_engine` is the injectable seam
+    (operators/ocr.py) — production plugs tesseract, tests a
+    deterministic fake.
     """
     out = {
         "kind": "empty", "raw_text": "", "metadata": {},
         "tables_json": None, "num_tables": 0,
         "n_bytes": 0 if payload is None else len(payload), "error": None,
     }
+    if force_ocr:
+        out.update(ocr_raw_text=None, ocr_by_page=None, ocr_error=None)
     if not payload:
         return out
     try:
@@ -80,6 +92,17 @@ def extract_one(payload: Optional[bytes]) -> dict:
             tables_json, n_tables = extract_tables_json(payload)
             out["tables_json"] = tables_json
             out["num_tables"] = n_tables
+            if force_ocr:
+                from ..operators.ocr import merge_ocr_text, ocr_pdf
+
+                try:
+                    by_page = ocr_pdf(payload, engine=ocr_engine)
+                    out["ocr_by_page"] = {
+                        str(k): v for k, v in by_page.items()
+                    }
+                    out["ocr_raw_text"] = merge_ocr_text(by_page)
+                except Exception as e:
+                    out["ocr_error"] = str(e)
         else:
             from ..html.boilerplate import extract_main_text
 
@@ -125,21 +148,52 @@ FUSED_SCHEMA = StructType([
 ])
 
 
-def _make_fused_batches(chunk_size: int, chunk_overlap: int):
+#: force-OCR variant columns appended to FUSED_SCHEMA: the cleaned
+#: merged OCR text, its chunk count (reference ocr_text/ocr_chunks,
+#: pdf_parser.py:328-329), the per-page dict (:330) and the degrade
+#: error (:331-332)
+FORCE_OCR_FIELDS = [
+    StructField("ocr_text", StringType()),
+    StructField("ocr_num_chunks", IntegerType()),
+    StructField("ocr_by_page", MapType(StringType(), StringType())),
+    StructField("ocr_error", StringType()),
+]
+FUSED_OCR_SCHEMA = StructType(list(FUSED_SCHEMA.fields) + FORCE_OCR_FIELDS)
+
+
+def _make_fused_batches(chunk_size: int, chunk_overlap: int,
+                        force_ocr: bool = False, ocr_engine=None):
+    schema = FUSED_OCR_SCHEMA if force_ocr else FUSED_SCHEMA
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.chunk import chunk_text
         from ..functions.clean import clean_text
 
-        cols = [f.name for f in FUSED_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for b in batches:
             rows = []
             for url, payload in zip(b["url"], b["html"]):
-                r = extract_one(payload)
+                r = extract_one(payload, force_ocr=force_ocr,
+                                ocr_engine=ocr_engine)
                 text = clean_text(r.pop("raw_text"))
                 chunks = chunk_text(text, chunk_size, chunk_overlap)
                 r.update(url=url, text=text,
                          chunk_lens=[len(c) for c in chunks],
                          num_chunks=len(chunks), ocr_used=False)
+                if force_ocr:
+                    raw = r.pop("ocr_raw_text")
+                    if raw is None:
+                        r.update(ocr_text=None, ocr_num_chunks=None)
+                    else:
+                        # reference force branch: clean + chunk the
+                        # merged OCR text exactly like native text
+                        ocr_text = clean_text(raw)
+                        r.update(
+                            ocr_text=ocr_text,
+                            ocr_num_chunks=len(chunk_text(
+                                ocr_text, chunk_size, chunk_overlap)),
+                            ocr_used=r["kind"] == "pdf",
+                        )
                 rows.append(r)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -163,6 +217,8 @@ def extract_documents(
     chunk_size: int = 1000,
     chunk_overlap: int = 200,
     fused: bool = True,
+    force_ocr: bool = False,
+    ocr_engine=None,
 ) -> DataFrame:
     """pages → documents DataFrame (lazy; no side effects).
 
@@ -171,11 +227,23 @@ def extract_documents(
     fused=False keeps T2 as a native regexp chain + T3 as a separate
     pandas UDF (the operator-granular path the oracle queries check;
     both paths produce identical rows — tests assert it).
+
+    force_ocr=True (fused path only) mirrors the reference's
+    --force-ocr flag: PDF documents additionally carry
+    ocr_text/ocr_num_chunks/ocr_by_page/ocr_error columns produced by
+    the injected OCR engine inside the SAME mapInPandas pass.
     """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
     salted = salted_repartition(pages.select("url", "html"), partitions)
 
+    if force_ocr:
+        return salted.mapInPandas(
+            _make_fused_batches(chunk_size, chunk_overlap,
+                                force_ocr=True, ocr_engine=ocr_engine),
+            FUSED_OCR_SCHEMA,
+        ).select(*DOCUMENTS_COLUMNS,
+                 "ocr_text", "ocr_num_chunks", "ocr_by_page", "ocr_error")
     if fused:
         return salted.mapInPandas(
             _make_fused_batches(chunk_size, chunk_overlap), FUSED_SCHEMA

@@ -1,60 +1,109 @@
-"""T7-T9: OCR interface seams (deferred scope, SURVEY §7.5).
+"""T7-T9: OCR with an injectable engine.
 
 The reference shells out to tesseract via pytesseract and rasterizes
 via pdf2image/poppler (/root/reference/src/ocr_processor.py).  Neither
 binary exists in this environment and OCR output is not deterministic
-across tesseract versions, so the reference's golden-verified path is
-`ocr_used=false` (both fixture goldens) — which the pipeline already
-produces.  This module pins the INTERFACE so the cluster deployment
-can plug real engines in without touching the pipeline:
+across tesseract versions, so the engine is INJECTED: the pipeline
+logic (T8 per-page loop with error embedding, T9 force-OCR merge) is
+real and tested against a deterministic fake engine, and a cluster
+deployment plugs a TesseractEngine into the same seam without touching
+the pipeline.  Reference semantics preserved:
 
-- per-page rasterization and OCR run inside the same mapInPandas pass
-  (no extra shuffle; page images never leave the executor),
 - per-page errors embed as strings exactly like the reference
   (ocr_processor.py:117-131 "Error processing page {n}: ..."),
 - the force-OCR merge (pdf_parser.py:318-332) joins page texts sorted
-  by page number with "\\n", then reuses T2 clean + T3 chunk.
+  by page number with "\\n", then reuses T2 clean + T3 chunk,
+- rasterization + OCR run inside the same mapInPandas pass (no extra
+  shuffle; page images never leave the executor).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
+
+
+class OcrEngine:
+    """Engine seam: rasterize a PDF to per-page 'images' and OCR one
+    image.  The default engine documents the real binding; tests and
+    oracles inject :class:`FakeOcrEngine`."""
+
+    def rasterize(self, payload: bytes, dpi: int = 300) -> List[object]:
+        """PDF bytes → list of page images, document page order
+        (reference uses pdf2image.convert_from_path at 300 dpi,
+        ocr_processor.py:61-83)."""
+        raise NotImplementedError(
+            "poppler/pdf2image not available in this environment"
+        )
+
+    def ocr(self, image: object, lang: str = "eng") -> str:
+        """image → text (reference uses pytesseract image_to_string,
+        ocr_processor.py:49-59)."""
+        raise NotImplementedError(
+            "tesseract not available in this environment"
+        )
+
+
+class FakeOcrEngine(OcrEngine):
+    """Deterministic fake for tests/oracles (same pattern as the
+    multimodal fake decode, operators/multimodal.py): 'rasterize'
+    parses the PDF with our own from-scratch extractor and yields one
+    (page_no, page_text) token per page; 'ocr' returns
+    ``"[ocr] " + page_text`` — or raises for injected failure pages so
+    the T8 error-embedding path is exercised."""
+
+    def __init__(self, fail_pages: Tuple[int, ...] = ()):
+        self.fail_pages = set(fail_pages)
+
+    def rasterize(self, payload: bytes, dpi: int = 300) -> List[object]:
+        from ..pdf.document import PdfDocument
+        from ..pdf.text import extract_page_text
+
+        doc = PdfDocument(payload)
+        return [
+            (i + 1, extract_page_text(doc, page))
+            for i, page in enumerate(doc.pages())
+        ]
+
+    def ocr(self, image: object, lang: str = "eng") -> str:
+        page_no, page_text = image
+        if page_no in self.fail_pages:
+            raise RuntimeError("fake raster decode failure")
+        return "[ocr] " + page_text
 
 
 def rasterize_pdf_pages(payload: bytes, dpi: int = 300,
-                        pages: Optional[List[int]] = None):
-    """T7 seam: PDF bytes → per-page images (reference uses
-    pdf2image.convert_from_path at 300 dpi, ocr_processor.py:61-83)."""
-    raise NotImplementedError(
-        "poppler/pdf2image not available in this environment"
-    )
+                        engine: Optional[OcrEngine] = None):
+    """T7 seam (kept for API compatibility): delegate to the engine."""
+    return (engine or OcrEngine()).rasterize(payload, dpi)
 
 
-def ocr_image(image, lang: str = "eng") -> str:
-    """T7 seam: image → text (reference uses pytesseract
-    image_to_string, ocr_processor.py:49-59)."""
-    raise NotImplementedError("tesseract not available in this environment")
+def ocr_image(image, lang: str = "eng",
+              engine: Optional[OcrEngine] = None) -> str:
+    """T7 seam: image → text via the engine."""
+    return (engine or OcrEngine()).ocr(image, lang)
 
 
 def ocr_pdf(payload: bytes, pages: Optional[List[int]] = None,
-            lang: str = "eng") -> Dict[int, str]:
+            lang: str = "eng",
+            engine: Optional[OcrEngine] = None) -> Dict[int, str]:
     """T8: per-page OCR loop with the reference's error-embedding
     semantics (ocr_processor.py:99-134): a failing page contributes
     the string "Error processing page {n}: {err}" instead of raising.
     """
+    engine = engine or OcrEngine()
     out: Dict[int, str] = {}
     try:
-        images = rasterize_pdf_pages(payload)
+        images = engine.rasterize(payload)
     except NotImplementedError:
         raise
-    except Exception as e:  # pragma: no cover - engine-specific
+    except Exception as e:
         return {1: f"Error processing page 1: {e}"}
     for n, img in enumerate(images, start=1):
         if pages is not None and n not in pages:
             continue
         try:
-            out[n] = ocr_image(img)
-        except Exception as e:  # pragma: no cover - engine-specific
+            out[n] = engine.ocr(img, lang)
+        except Exception as e:
             out[n] = f"Error processing page {n}: {e}"
     return out
 

@@ -224,3 +224,160 @@ def test_aesv2_pdf():
     from pdf_parser_spark.pdf.text import extract_document_text
 
     assert extract_document_text(_mk_aes_pdf()) == "aes secret readable\n"
+
+
+# -------------------------------------------------- AES-256 (/V 5 R 6)
+
+
+def test_aes256_fips_vector():
+    # FIPS-197 appendix C.3 (AES-256) through the generic key expander
+    from pdf_parser_spark.pdf.crypt import (
+        _aes_decrypt_block, _aes_encrypt_block, _expand_key,
+    )
+
+    key = bytes(range(32))
+    w, nr = _expand_key(key)
+    assert nr == 14
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _aes_encrypt_block(pt, w, nr) == ct
+    assert _aes_decrypt_block(ct, w, nr) == pt
+
+
+def test_aes_fast_paths_match_reference():
+    # T-table fast blocks == schoolbook reference blocks, both key sizes
+    from pdf_parser_spark.pdf.crypt import (
+        _aes_decrypt_block, _aes_decrypt_block_fast, _aes_encrypt_block,
+        _aes_encrypt_block_fast, _expand_key, _rk_words,
+    )
+
+    for key in (bytes(range(16)), bytes(range(32))):
+        w, nr = _expand_key(key)
+        rk, nr2 = _rk_words(key)
+        assert nr == nr2
+        for seed in (0, 7, 200):
+            blk = bytes((seed + i * 13) % 256 for i in range(16))
+            ct_ref = _aes_encrypt_block(blk, w, nr)
+            assert _aes_encrypt_block_fast(blk, rk, nr) == ct_ref
+            assert _aes_decrypt_block_fast(ct_ref, rk, nr) == blk
+            assert _aes_decrypt_block(ct_ref, w, nr) == blk
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=4)
+def _mk_aes256_pdf(r: int = 6) -> bytes:
+    """Deterministic /V 5 fixture, empty user+owner password —
+    built with the same public-spec algorithms (2.A/2.B forward
+    direction) the decryptor inverts."""
+    from pdf_parser_spark.pdf.crypt import (
+        _aes_encrypt_block, _expand_key, aes_cbc_encrypt,
+        aes_cbc_encrypt_raw, hash_2b,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (aes256 secret readable) Tj ET"
+    file_key = bytes(range(32))
+    p = -4
+    vsalt, ksalt = b"valsalt1", b"keysalt1"
+    if r == 6:
+        u_entry = hash_2b(b"", vsalt) + vsalt + ksalt
+        ue_entry = aes_cbc_encrypt_raw(hash_2b(b"", ksalt), b"\x00" * 16,
+                                       file_key)
+    else:  # r == 5
+        u_entry = hashlib.sha256(b"" + vsalt).digest() + vsalt + ksalt
+        ue_entry = aes_cbc_encrypt_raw(
+            hashlib.sha256(b"" + ksalt).digest(), b"\x00" * 16, file_key)
+    o_vsalt, o_ksalt = b"ovalslt1", b"okeyslt1"
+    if r == 6:
+        o_entry = hash_2b(b"", o_vsalt, u_entry) + o_vsalt + o_ksalt
+        oe_entry = aes_cbc_encrypt_raw(
+            hash_2b(b"", o_ksalt, u_entry), b"\x00" * 16, file_key)
+    else:
+        o_entry = (hashlib.sha256(b"" + o_vsalt + u_entry).digest()
+                   + o_vsalt + o_ksalt)
+        oe_entry = aes_cbc_encrypt_raw(
+            hashlib.sha256(b"" + o_ksalt + u_entry).digest(),
+            b"\x00" * 16, file_key)
+    perms_plain = (p.to_bytes(4, "little", signed=True)
+                   + b"\xff\xff\xff\xff" + b"Tadbbeef")
+    w, nr_rounds = _expand_key(file_key)
+    perms = _aes_encrypt_block(perms_plain, w, nr_rounds)
+
+    def enc(data: bytes) -> bytes:
+        return aes_cbc_encrypt(file_key, b"iviviviviviviviv", data)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    out = bytearray(b"%PDF-2.0\n")
+    offsets = {}
+
+    def put(num, raw):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + raw + b"\nendobj\n")
+
+    put(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    put(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    put(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    cs = enc(content)
+    put(4, b"<< /Length " + str(len(cs)).encode() + b" >>\nstream\n"
+           + cs + b"\nendstream")
+    put(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    title = enc(b"v5 classified title")
+    put(6, b"<< /Title " + hexs(title) + b" >>")
+    put(7, b"<< /Filter /Standard /V 5 /R " + str(r).encode() +
+           b" /Length 256 "
+           b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+           b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+           b"/O " + hexs(o_entry) + b" /U " + hexs(u_entry) +
+           b" /OE " + hexs(oe_entry) + b" /UE " + hexs(ue_entry) +
+           b" /Perms " + hexs(perms) +
+           b" /P " + str(p).encode() + b" >>")
+    xref_off = len(out)
+    out.extend(b"xref\n0 8\n0000000000 65535 f \n")
+    for i in range(1, 8):
+        out.extend(f"{offsets[i]:010d} 00000 n \n".encode())
+    id0 = b"0123456789abcdef"
+    out.extend(b"trailer\n<< /Size 8 /Root 1 0 R /Info 6 0 R "
+               b"/Encrypt 7 0 R /ID [" + hexs(id0) + hexs(id0) +
+               b"] >>\nstartxref\n" + str(xref_off).encode() +
+               b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_aes256_r6_pdf():
+    from pdf_parser_spark.pdf.metadata import extract_metadata
+    from pdf_parser_spark.pdf.text import extract_document_text
+
+    pdf = _mk_aes256_pdf(r=6)
+    assert extract_document_text(pdf) == "aes256 secret readable\n"
+    assert extract_metadata(pdf)["Title"] == "v5 classified title"
+
+
+def test_aes256_r5_pdf():
+    from pdf_parser_spark.pdf.text import extract_document_text
+
+    assert (extract_document_text(_mk_aes256_pdf(r=5))
+            == "aes256 secret readable\n")
+
+
+def test_aes256_wrong_password_contained():
+    # flip a /U validation byte: a truly password-protected document
+    # must NOT crash the pipeline — extract_one contains the error
+    from pdf_parser_spark.jobs.extract import extract_one
+
+    pdf = bytearray(_mk_aes256_pdf(r=6))
+    u_hex = _mk_aes256_pdf(r=6).hex()  # locate /U via rebuild
+    r = extract_one(bytes(pdf))
+    assert r["error"] is None  # sanity: unmodified decrypts fine
+
+    from pdf_parser_spark.pdf.crypt import hash_2b
+
+    good_u = (hash_2b(b"", b"valsalt1") + b"valsalt1" + b"keysalt1").hex()
+    broken = _mk_aes256_pdf(r=6).replace(
+        good_u.encode(), (b"00" * 32 + good_u[64:].encode()))
+    r2 = extract_one(bytes(broken))
+    assert r2["kind"] == "pdf"
+    assert r2["error"] is not None or r2["raw_text"] == ""
