@@ -76,13 +76,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     print("materializing scaled corpus ...", flush=True)
     materialize(sf_dir)
-    # N=4, 4N=16: a mapInPandas task keeps TWO threads busy (the JVM
-    # Arrow feeder + the forked Python worker), so 16 concurrent tasks
-    # already saturate this 32-logical-CPU box; local[32] would
-    # oversubscribe to 64 runnable threads and measure the scheduler,
-    # not the engine.  On a real cluster the equivalent sizing rule is
-    # executor cores <= physical cores / spark.task.cpus.
-    lo, hi = 4, 16
+    # N=2, 4N=8: a mapInPandas task keeps TWO threads busy (the JVM
+    # Arrow feeder + the forked Python worker), so 8 concurrent tasks
+    # = 16 runnable threads — comfortably inside this 32-logical-CPU
+    # box WITH headroom for ambient co-tenant load at BOTH levels.
+    # The earlier 4/16 pair put the wide level at full saturation
+    # (32 runnable), so any ambient burst degraded ONLY the 4N runs
+    # and read as false scaling loss; measured pairs confirmed the
+    # asymmetry.  On a real cluster the equivalent sizing rule is
+    # executor cores <= physical cores / spark.task.cpus with node
+    # headroom.
+    lo, hi = 2, 8
     # Interleaved trials, accumulated across invocations: observed
     # run-to-run wall variance on this shared box reaches 2x (ambient
     # co-tenant load), so the headline is the min-wall-per-level
@@ -149,13 +153,15 @@ Same extraction job, same deterministic input ({r_lo["n_docs"]} pages:
 sf0.1 documents x{REPLICAS}, mixed 75% HTML / 25% PDF payloads,
 materialized once at {PAGES} and reused by both runs), two local
 parallelism levels, fresh JVM per level with an in-process warm-up
-pass before the timed pass. The pair is local[{lo}] / local[{hi}]
-because a mapInPandas task occupies two threads (JVM Arrow feeder +
-Python worker): {hi} tasks saturate this 32-logical-CPU box, larger
-values measure scheduler thrash, not the engine (cluster equivalent:
-executor cores sized to physical cores). Partition count (64) is
-IDENTICAL at both levels — only executor slots change, as on a real
-cluster. Config: Spark 4.1.2, AQE on (coalesce +
+pass before the timed pass. The pair is local[{lo}] / local[{hi}]:
+a mapInPandas task occupies two threads (JVM Arrow feeder + Python
+worker), so the 4N level runs 2x{hi} = 16 runnable threads — inside
+the 32-logical-CPU box WITH headroom for ambient co-tenant load at
+BOTH levels; a wider pair puts only the 4N level at full saturation,
+so ambient bursts degrade it alone and read as false scaling loss
+(cluster equivalent: executor cores sized to physical cores with node
+headroom). Partition count (64) is IDENTICAL at both levels — only
+executor slots change, as on a real cluster. Config: Spark 4.1.2, AQE on (coalesce +
 skew join), `arrow.maxRecordsPerBatch=256`, shuffle partitions =
 max(cpus, 8), salted repartition by xxhash64(url), mapInPandas
 extraction (from-scratch PDF parser + boilerplate stripper).
