@@ -62,14 +62,20 @@ def main() -> None:
         )
         pages.write.mode("overwrite").parquet(pages_path)
 
-    # flagship: mixed-route extraction (the BASELINE.json metric)
-    def q_extract():
+    # flagship: mixed-route extraction (the BASELINE.json metric).
+    # Warm-up first (5% sample): forks the Python workers and JITs the
+    # JVM so the timed pass measures the engine, not process startup —
+    # same protocol as tools/scaling_worker.py.
+    def q_extract(sample=None):
         pages = spark.read.parquet(pages_path)
+        if sample:
+            pages = pages.sample(sample, seed=1)
         out = extract_documents(pages, partitions=cpus * 2)
         return out.agg(
             F.count("*"), F.sum(F.length("text")), F.sum("num_chunks")
         ).collect()
 
+    q_extract(sample=0.05)
     timed("extract_mixed", q_extract)
     extra["docs_per_sec"] = round(n_docs / timings["extract_mixed"], 2)
 

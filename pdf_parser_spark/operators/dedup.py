@@ -229,11 +229,17 @@ def minhash_lsh_candidates(
         lsh_band_keys(minhash_signature(F.col(text_col), shingle_n=shingle_n))
         .alias("bands"),
     )
-    exploded = sig.select(id_col, F.explode("bands").alias("band_key"))
+    # signature map runs ONCE: (id, band_key) is persisted before the
+    # two consumers (count gate + member collection) — without this,
+    # AQE's broadcast conversion of the semi-join removes the shared
+    # Exchange and the md5-per-shingle work runs twice. At true
+    # petabyte scale the equivalent move is materializing the band
+    # table once (it is the reusable dedup index), not recomputing.
+    exploded = sig.select(
+        id_col, F.explode("bands").alias("band_key")
+    ).persist()
     # Count-first gate BEFORE collect_list: the oversized member array
-    # is never materialized, not just filtered after the fact. Both
-    # aggregations and the semi-join hash-partition on band_key, so
-    # Catalyst reuses one Exchange — no extra shuffle.
+    # is never materialized, not just filtered after the fact.
     ok_keys = (
         exploded.groupBy("band_key").agg(F.count("*").alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
@@ -347,15 +353,21 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
             .localCheckpoint()  # ONE job materializes the round; the
             # convergence probe below scans the cached result only
         )
-        changed = upd.where(F.col("label") != F.col("old_label")).count()
+        # existence probe (limit-1 short-circuit) on the cached round —
+        # the exact changed count is only needed for the rare
+        # non-convergence warning below
+        changed = (
+            upd.where(F.col("label") != F.col("old_label")).limit(1).count()
+        )
         labels = upd.select("id", "label")
         if changed == 0:
             break
     if changed != 0:  # pragma: no cover - safety bound, not expected
         import warnings
 
+        n_moving = upd.where(F.col("label") != F.col("old_label")).count()
         warnings.warn(
-            f"dedup_clusters: {changed} labels still changing after "
+            f"dedup_clusters: {n_moving} labels still changing after "
             f"{max_iter} rounds; components may be split"
         )
     edges.unpersist()

@@ -274,10 +274,13 @@ def embedding_neardup_pairs(
     semi-join on the same shuffle key — one reused Exchange), so the
     degenerate array is never built."""
     planes = hyperplanes(n_planes, dim)
+    # the 16 hyperplane dot-products per vector run ONCE: persisted
+    # before the count gate + member collection consumers (AQE's
+    # broadcast conversion would otherwise recompute the keys)
     keyed = df.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col(vec_col), planes, n_bands)).alias("bk"),
-    )
+    ).persist()
     ok_keys = (
         keyed.groupBy("bk").agg(F.count("*").alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))

@@ -52,10 +52,38 @@ class Seg:
     x1: float
     y1: float
     seq: int = 0    # draw order (overpaint resolution)
+    lum: float = 0.0  # mark luminance (diagnostics; 0=black)
 
 
 def _tx(m, x, y) -> Tuple[float, float]:
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+def _clip_line(p0, p1, cb):
+    """Liang-Barsky line clip against bbox cb=(x0,y0,x1,y1);
+    returns (q0, q1) or None if fully outside."""
+    x0, y0 = p0
+    x1, y1 = p1
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0 - cb[0]), (dx, cb[2] - x0),
+                 (-dy, y0 - cb[1]), (dy, cb[3] - y0)):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        t = q / p
+        if p < 0:
+            if t > t1:
+                return None
+            if t > t0:
+                t0 = t
+        else:
+            if t < t0:
+                return None
+            if t < t1:
+                t1 = t
+    return ((x0 + t0 * dx, y0 + t0 * dy), (x0 + t1 * dx, y0 + t1 * dy))
 
 
 class _GeomExtractor:
@@ -106,9 +134,9 @@ class _GeomExtractor:
         TL = 0.0
         if init is not None:
             # Form XObject recursion INHERITS the caller's graphics
-            # state (PDF 32000 §8.10.1) — notably the dash pattern and
-            # colors, which gate rule detection
-            cm, stroke_lum, fill_lum, dashed = init
+            # state (PDF 32000 §8.10.1) — notably the dash pattern,
+            # colors, and CLIP, which gate rule detection
+            cm, stroke_lum, fill_lum, dashed, clip = init
             cm = list(cm)
         else:
             cm = list(_IDENTITY)
@@ -116,8 +144,43 @@ class _GeomExtractor:
             fill_lum = 0.0     # light marks threshold out in binarization
             dashed = False     # dashed strokes rasterize as short runs that
             # camelot's long-kernel erosion destroys — never table rules
+            clip = None  # device-space clip bbox (axis-aligned approx of
+            # W/W* regions — the raster never shows marks outside it)
+        pending_clip = False
         path: List[List[Tuple[float, float]]] = []  # subpaths of points
         cur: List[Tuple[float, float]] = []
+
+        def apply_pending_clip() -> None:
+            """W/W* semantics: after the NEXT painting op, the clip
+            becomes the intersection with the current path's region
+            (bbox approximation; planogram clips are rects)."""
+            nonlocal clip, pending_clip
+            if not pending_clip:
+                return
+            pending_clip = False
+            pts = [_tx(cm, x, y) for sub in (path + ([cur] if cur else []))
+                   for x, y in sub]
+            if not pts:
+                return
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            nb = (min(xs), min(ys), max(xs), max(ys))
+            if clip is None:
+                clip = nb
+            else:
+                clip = (max(clip[0], nb[0]), max(clip[1], nb[1]),
+                        min(clip[2], nb[2]), min(clip[3], nb[3]))
+
+        def _bbox_clip(x0, y0, x1, y1):
+            """Intersect an axis bbox with the active clip (None if
+            fully outside)."""
+            if clip is None:
+                return (x0, y0, x1, y1)
+            nx0, ny0 = max(x0, clip[0]), max(y0, clip[1])
+            nx1, ny1 = min(x1, clip[2]), min(y1, clip[3])
+            if nx0 > nx1 or ny0 > ny1:
+                return None
+            return (nx0, ny0, nx1, ny1)
 
         def flush_path(stroke: bool, fill: bool) -> None:
             nonlocal path, cur
@@ -136,34 +199,47 @@ class _GeomExtractor:
                         if pts:
                             xs = [p[0] for p in pts]
                             ys = [p[1] for p in pts]
-                            self.white_rects.append(
-                                (seq, min(xs), min(ys), max(xs), max(ys)))
+                            b = _bbox_clip(min(xs), min(ys),
+                                           max(xs), max(ys))
+                            if b:
+                                self.white_rects.append((seq,) + b)
+                apply_pending_clip()
                 path = []
                 return
             if stroke and dashed:
+                apply_pending_clip()
                 path = []
                 return
             for sub in path:
                 pts = [_tx(cm, x, y) for x, y in sub]
                 if stroke:
-                    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
-                        self.segs.append(Seg(ax, ay, bx, by, seq))
+                    for a, b in zip(pts, pts[1:]):
+                        if clip is not None:
+                            cl = _clip_line(a, b, clip)
+                            if cl is None:
+                                continue
+                            a, b = cl
+                        self.segs.append(
+                            Seg(a[0], a[1], b[0], b[1], seq, lum))
                 elif fill and pts:
                     # filled areas: thin ones act as rules; wider
                     # bands survive camelot's raster morphology as
                     # thick line regions whose V-crossings make joints
                     xs = [p[0] for p in pts]
                     ys = [p[1] for p in pts]
-                    x0, x1 = min(xs), max(xs)
-                    y0, y1 = min(ys), max(ys)
+                    bb = _bbox_clip(min(xs), min(ys), max(xs), max(ys))
+                    if bb is None:
+                        continue
+                    x0, y0, x1, y1 = bb
                     if (x1 - x0) < 2.5 or (y1 - y0) < 2.5:
                         self.segs.append(Seg(x0, (y0 + y1) / 2,
-                                             x1, (y0 + y1) / 2, seq)
+                                             x1, (y0 + y1) / 2, seq, lum)
                                          if (y1 - y0) < 2.5 else
                                          Seg((x0 + x1) / 2, y0,
-                                             (x0 + x1) / 2, y1, seq))
+                                             (x0 + x1) / 2, y1, seq, lum))
                     else:
                         self.fill_rects.append((x0, y0, x1, y1))
+            apply_pending_clip()
             path = []
 
         def advance_units(raw: bytes) -> float:
@@ -194,11 +270,11 @@ class _GeomExtractor:
                     tm = list(_IDENTITY)
                 elif op == b"q":
                     stack.append((list(cm), font, font_size, char_scale, TL,
-                                  stroke_lum, fill_lum, dashed))
+                                  stroke_lum, fill_lum, dashed, clip))
                 elif op == b"Q":
                     if stack:
                         (cm, font, font_size, char_scale, TL,
-                         stroke_lum, fill_lum, dashed) = stack.pop()
+                         stroke_lum, fill_lum, dashed, clip) = stack.pop()
                         cm = list(cm)
                 elif op == b"d":
                     arr = operands[0] if operands else []
@@ -276,6 +352,8 @@ class _GeomExtractor:
                         cur = []
                     path.append([(x, y), (x + w, y), (x + w, y + h),
                                  (x, y + h), (x, y)])
+                elif op in (b"W", b"W*"):
+                    pending_clip = True
                 elif op in (b"S", b"s", b"B", b"B*", b"b", b"b*"):
                     flush_path(stroke=True, fill=False)
                 elif op in (b"f", b"F", b"f*"):
@@ -283,6 +361,8 @@ class _GeomExtractor:
                 elif op == b"n":
                     if cur:
                         path.append(cur)
+                        cur = []
+                    apply_pending_clip()
                     path, cur = [], []
                 elif op == b"Do" and depth < 4:
                     r = doc.resolve
@@ -304,10 +384,40 @@ class _GeomExtractor:
                         try:
                             self.extract(
                                 doc.stream_data(xo), inner_res, depth + 1,
-                                init=(inner_cm, stroke_lum, fill_lum, dashed),
+                                init=(inner_cm, stroke_lum, fill_lum,
+                                      dashed, clip),
                             )
                         except Exception:
                             pass
+                    elif isinstance(xo, StreamObject) and r(
+                            xo.dict.get("Subtype")) == "Image":
+                        # an OPAQUE image paint (no /SMask//Mask
+                        # transparency) covers every earlier mark under
+                        # it in the raster — exactly how camelot's
+                        # pipeline loses rules beneath product
+                        # thumbnails painted over schematic art. Record
+                        # the image's unit-square device bbox as a
+                        # cover, same mechanism as near-white fills.
+                        if not (xo.dict.get("SMask")
+                                or xo.dict.get("Mask")):
+                            self._draw_seq += 1
+                            pts = [_tx(cm, x, y)
+                                   for x, y in ((0, 0), (1, 0),
+                                                (0, 1), (1, 1))]
+                            xs = [p[0] for p in pts]
+                            ys = [p[1] for p in pts]
+                            # unlike a white fill (whose boundary
+                            # anti-aliases WITH an underlying rule so
+                            # edge-aligned rules survive), an opaque
+                            # image overwrites its edge pixels too —
+                            # grow the bbox past the erase pass's
+                            # boundary exemption inset
+                            g = 0.6
+                            b = _bbox_clip(min(xs) - g, min(ys) - g,
+                                           max(xs) + g, max(ys) + g)
+                            if b:
+                                self.white_rects.append(
+                                    (self._draw_seq,) + b)
             except (TypeError, ValueError, IndexError):
                 continue
 
