@@ -43,7 +43,18 @@ class OcrEngine:
         )
 
 
-class FakeOcrEngine(OcrEngine):
+class OcrEngineWithImages(OcrEngine):
+    """Extension point for S4 (standalone image files): decode raw
+    image bytes into the engine's image type (reference uses
+    PIL.Image.open, ocr_processor.py:136-155)."""
+
+    def decode_image(self, payload: bytes) -> object:
+        raise NotImplementedError(
+            "Pillow not available in this environment"
+        )
+
+
+class FakeOcrEngine(OcrEngineWithImages):
     """Deterministic fake for tests/oracles (same pattern as the
     multimodal fake decode, operators/multimodal.py): 'rasterize'
     parses the PDF with our own from-scratch extractor and yields one
@@ -69,6 +80,20 @@ class FakeOcrEngine(OcrEngine):
         if page_no in self.fail_pages:
             raise RuntimeError("fake raster decode failure")
         return "[ocr] " + page_text
+
+    def decode_image(self, payload: bytes) -> object:
+        # deterministic fake: the 'image' is its utf-8 text content
+        # (page_no 1), mirroring the multimodal fake-decode pattern
+        return (1, payload.decode("utf-8", errors="replace"))
+
+
+def ocr_image_file(payload: bytes, lang: str = "eng",
+                   engine: Optional[OcrEngineWithImages] = None) -> str:
+    """S4: standalone image file → OCR text (reference
+    ocr_processor.py:136-155: Image.open then image_to_string; errors
+    propagate to the caller, unlike the per-page T8 embedding)."""
+    engine = engine or OcrEngineWithImages()
+    return engine.ocr(engine.decode_image(payload), lang)
 
 
 def rasterize_pdf_pages(payload: bytes, dpi: int = 300,

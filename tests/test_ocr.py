@@ -42,6 +42,20 @@ def test_ocr_pages_subset():
     assert sorted(by_page) == [1, 3]
 
 
+def test_ocr_image_file_s4():
+    from pdf_parser_spark.operators.ocr import (
+        OcrEngineWithImages, ocr_image_file,
+    )
+
+    assert ocr_image_file(b"photo text", engine=FakeOcrEngine()) == \
+        "[ocr] photo text"
+    with pytest.raises(NotImplementedError):
+        ocr_image_file(b"x", engine=OcrEngineWithImages())
+    # S4 errors PROPAGATE (no per-page embedding on the image path)
+    with pytest.raises(RuntimeError):
+        ocr_image_file(b"x", engine=FakeOcrEngine(fail_pages=(1,)))
+
+
 def test_default_engine_raises_not_implemented():
     with pytest.raises(NotImplementedError):
         ocr_pdf(PDF3, engine=OcrEngine())
