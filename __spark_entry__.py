@@ -788,6 +788,33 @@ def _q_ocr_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_image_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 standalone image-file OCR (reference ocr_processor.py:136-155)
+    with the deterministic fake engine; unlike T8, decode errors
+    PROPAGATE — exercised via fail on doc_id%7==0 and recorded."""
+
+    @F.pandas_udf("ocr_text string, ok int")
+    def s4_udf(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.ocr import (
+            FakeOcrEngine, ocr_image_file,
+        )
+
+        out = []
+        for i, t in zip(ids, texts):
+            d = int(i)
+            eng = FakeOcrEngine(fail_pages=(1,) if d % 7 == 0 else ())
+            try:
+                txt, ok = ocr_image_file(t.encode(), engine=eng), 1
+            except RuntimeError as e:
+                txt, ok = f"error: {e}", 0
+            out.append({"ocr_text": txt, "ok": ok})
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", s4_udf("doc_id", "text").alias("m"))
+    return d.select("doc_id", "m.ocr_text", "m.ok")
+
+
 def _q_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 recursive splitter (reference langchain_parser.py:58-74) on
     the documents' texts: every sf text fits one chunk, so the oracle
@@ -955,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _q_json_roundtrip,
         "chunk_multi_para": _q_chunk_multi_para,
         "ocr_pdf_docs": _q_ocr_pdf,
+        "ocr_image_files": _q_ocr_image_files,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
     }
@@ -1299,6 +1327,14 @@ def oracle_sql() -> dict[str, str]:
             "2 AS n_pages_ocr, "
             "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) "
             "AS n_errors FROM w"
+        ),
+        "ocr_image_files": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 "
+            "THEN 'error: fake raster decode failure' "
+            "ELSE '[ocr] ' || text END AS ocr_text, "
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INT) "
+            "AS ok FROM documents"
         ),
         "recursive_split": (
             "SELECT doc_id, 1 AS n_chunks, trim(text) AS first_chunk "
