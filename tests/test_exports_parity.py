@@ -231,3 +231,20 @@ def test_x6_native_matches_python(spark):
             if u == f"doc{d}" and t in keep
         }
         assert ids == {p for p in native if p[0] == f"doc{d}"}
+
+
+def test_detector_crash_contained(monkeypatch):
+    """X3-outcome parity: when the lattice detector crashes on a page,
+    the reference falls through its latent stream_tables NameError to
+    the tabula fallback and typically yields NO tables
+    (/root/reference/src/table_extractor.py:95-114); our engine must
+    produce the same OUTCOME — page skipped, no exception."""
+    from pdf_parser_spark.datagen.pdfgen import build_pdf
+    from pdf_parser_spark.operators import tables as T
+
+    def boom(*a, **k):
+        raise RuntimeError("detector crash")
+
+    monkeypatch.setattr(T.X, "detect_tables", boom)
+    pdf = build_pdf([["some text"]], {0: (["a", "b"], [["c", "d"]])}, {})
+    assert T.extract_tables(pdf) == []

@@ -74,6 +74,18 @@ def test_embedding_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_cluster_warns_when_iteration_capped(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    # pointer jumping halves chains per round; 1 round cannot finish a
+    # 13-node path — the safety bound must WARN, not silently truncate
+    with pytest.warns(UserWarning, match="still changing"):
+        dedup.dedup_clusters(pairs, max_iter=1).collect()
+
+
 def test_cluster_chain_past_fixed_rounds(spark):
     # path-shaped component 0-1-2-...-19: diameter 19 exceeds the old
     # fixed 6-round schedule; convergence + pointer jumping must still
