@@ -271,6 +271,39 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32(_docs(spark, sf_dir))
 
 
+def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming join (Manku et al. WWW'07 shape):
+    byte-band buckets make the <=3-hamming pair search exact without
+    an all-pairs scan."""
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition feature: top-bigram share per document,
+    map-only native expressions; shingles projected once (the
+    two-step form — see textstats.repetition_from_shingles)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", dedup.word_shingles(F.col("text"), 2).alias("sh"))
+    return d.select(
+        "doc_id",
+        F.round(ts.repetition_from_shingles(F.col("sh")), 6)
+        .alias("rep_ratio"),
+    )
+
+
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style cleaning gate: keep flag + first failing rule,
+    fully native (codegen, no UDF, no shuffle); shingles projected
+    once."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text"),
+        dedup.word_shingles(F.col("text"), 2).alias("sh"))
+    g = ts.quality_gate(F.col("text"), F.col("sh"))
+    return d.select(
+        "doc_id", g["keep"].alias("keep"), g["reason"].alias("reason")
+    )
+
+
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
     return d.select(
@@ -958,6 +991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
+        "simhash_neardup_pairs": _q_simhash_neardups,
+        "repetition_ratio": _q_repetition,
+        "quality_gate": _q_quality_gate,
         "ngram_jaccard_pairs": _q_jaccard,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_topk,
@@ -1043,6 +1079,58 @@ def _frame_sample_sql() -> str:
     return f"""
 SELECT doc_id AS media_id, unnest(range(0, 1 + {n} % 32, 4)) AS frame_idx
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def _repetition_sql() -> str:
+    """Gopher repetition twin with the shingle list hoisted into a CTE
+    (inline expansion re-evaluates the O(n^2) list work per reference
+    — measured 10x slower)."""
+    from pdf_parser_spark.operators.dedup import word_shingles_sql
+
+    sh = word_shingles_sql("text", 2)
+    return f"""
+WITH w AS (SELECT doc_id, {sh} AS sh FROM documents)
+SELECT doc_id,
+  round(CASE WHEN len(sh) > 0 THEN
+    CAST(list_max(list_transform(list_distinct(sh),
+         s -> len(list_filter(sh, x -> x = s)))) AS DOUBLE) / len(sh)
+  ELSE 0.0 END, 6) AS rep_ratio
+FROM w
+"""
+
+
+def _quality_gate_sql() -> str:
+    """Cleaning-gate twin: features and the repetition ratio hoisted
+    into CTE columns so each evaluates once per row."""
+    from pdf_parser_spark.operators.dedup import word_shingles_sql
+
+    f = ts.quality_features_sql("text")
+    sh = word_shingles_sql("text", 2)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    {f['n_words']} AS n_words,
+    {f['avg_word_len']} AS avg_word_len,
+    {f['alpha_ratio']} AS alpha_ratio,
+    {sh} AS sh
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words, avg_word_len, alpha_ratio,
+    CASE WHEN len(sh) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(sh),
+           s -> len(list_filter(sh, x -> x = s)))) AS DOUBLE) / len(sh)
+    ELSE 0.0 END AS rep
+  FROM w
+), g AS (
+  SELECT doc_id,
+    CASE WHEN n_words < 15 THEN 'too_few_words'
+         WHEN avg_word_len < 2 OR avg_word_len > 12 THEN 'word_len'
+         WHEN alpha_ratio < 0.5 THEN 'alpha'
+         WHEN rep > 0.2 THEN 'repetition' ELSE '' END AS reason
+  FROM r
+)
+SELECT doc_id, reason = '' AS keep, reason FROM g
 """
 
 
@@ -1170,6 +1258,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _minhash_lsh_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(_minhash_lsh_sql()),
         "simhash": dedup.simhash32_sql(),
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(
+            max_hamming=3),
+        "repetition_ratio": _repetition_sql(),
+        "quality_gate": _quality_gate_sql(),
         "ngram_jaccard_pairs": (
             "SELECT id_a, id_b, n_common, n_a, n_b, round(jaccard, 6) AS jaccard "
             f"FROM ({dedup.ngram_jaccard_pairs_sql(threshold=0.5)})"

@@ -232,3 +232,98 @@ def rolling_fingerprint_sql(col: str) -> str:
         f"ch -> CAST(ascii(ch) AS BIGINT))), "
         f"(acc, ch) -> (acc * {ROLL_BASE} + ch) % {ROLL_MOD})"
     )
+
+
+# ------------------------------------------------- repetition (Gopher)
+
+
+def repetition_from_shingles(sh: Column) -> Column:
+    """Repetition ratio over a PRE-PROJECTED shingle array column.
+
+    IMPORTANT: pass a projected column (df.select(shingles.alias("sh"))
+    first), not the raw shingle expression — Spark re-evaluates a
+    non-attribute expression inside every higher-order-lambda element,
+    turning the O(n^2) count into O(n^2) x shingle-construction
+    (measured ~50x slower); a multiply-referenced projected attribute
+    evaluates once per row and CollapseProject keeps the barrier."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(sh),
+            lambda s: F.size(F.filter(sh, lambda x: x == s)),
+        )
+    )
+    return (
+        F.when(F.size(sh) > 0, top.cast("double") / F.size(sh))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition feature: fraction of word n-grams taken
+    by the single most frequent one (high => boilerplate/spam).
+
+    Pure column expression (map-only, NO shuffle): distinct shingles x
+    occurrence counts via higher-order functions. Quadratic in the
+    per-document shingle count — the right trade for web pages (10^2 -
+    10^4 tokens); for book-length documents switch to the
+    explode+groupBy formulation (one shuffle on (doc, shingle)).
+    Prefer the two-step form (project shingles, then
+    :func:`repetition_from_shingles`) in hot paths — see its note."""
+    from ..operators.dedup import word_shingles
+
+    return repetition_from_shingles(word_shingles(col, n))
+
+
+def repetition_ratio_sql(col: str, n: int = 2) -> str:
+    from ..operators.dedup import word_shingles_sql
+
+    sh = word_shingles_sql(col, n)
+    return (
+        f"CASE WHEN len({sh}) > 0 THEN "
+        f"CAST(list_max(list_transform(list_distinct({sh}), "
+        f"s -> len(list_filter({sh}, x -> x = s)))) AS DOUBLE) "
+        f"/ len({sh}) ELSE 0.0 END"
+    )
+
+
+# ---------------------------------------------- cleaning gate (C4-ish)
+
+#: (rule name, in gate order) — first failing rule is the reason
+QUALITY_GATE_RULES = (
+    "too_few_words", "word_len", "alpha", "repetition",
+)
+
+
+def quality_gate(col: Column, sh: Column = None) -> Column:
+    """C4/Gopher-style document cleaning gate as ONE struct column
+    (keep boolean, reason string = first failing rule or '') — the
+    filter stage a training-data pipeline runs before dedup. Rules:
+    n_words >= 15; 2 <= avg_word_len <= 12; alpha_ratio >= 0.5;
+    repetition_ratio(bigram) <= 0.2. Entirely native expressions —
+    whole-stage codegen, no UDF, no shuffle. In hot paths pass `sh` =
+    a PROJECTED bigram-shingle column (see repetition_from_shingles)."""
+    f = quality_features(col)
+    rep = (repetition_from_shingles(sh) if sh is not None
+           else repetition_ratio(col, 2))
+    reason = (
+        F.when(f["n_words"] < 15, F.lit("too_few_words"))
+        .when((f["avg_word_len"] < 2) | (f["avg_word_len"] > 12),
+              F.lit("word_len"))
+        .when(f["alpha_ratio"] < 0.5, F.lit("alpha"))
+        .when(rep > 0.2, F.lit("repetition"))
+        .otherwise(F.lit(""))
+    )
+    return F.struct((reason == "").alias("keep"), reason.alias("reason"))
+
+
+def quality_gate_sql(col: str) -> dict:
+    f = quality_features_sql(col)
+    rep = repetition_ratio_sql(col, 2)
+    reason = (
+        f"CASE WHEN {f['n_words']} < 15 THEN 'too_few_words' "
+        f"WHEN {f['avg_word_len']} < 2 OR {f['avg_word_len']} > 12 "
+        f"THEN 'word_len' "
+        f"WHEN {f['alpha_ratio']} < 0.5 THEN 'alpha' "
+        f"WHEN {rep} > 0.2 THEN 'repetition' ELSE '' END"
+    )
+    return {"keep": f"({reason}) = ''", "reason": reason}

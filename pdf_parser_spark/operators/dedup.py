@@ -467,6 +467,96 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(x)
 
 
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming(simhash) <= max_hamming)
+    via BANDED byte buckets (Manku et al., WWW'07 shape): the 32-bit
+    simhash splits into 4 byte-bands; by pigeonhole any pair within
+    hamming 3 shares at least one untouched band, so the bucket join
+    is EXACT for max_hamming <= 3 — no all-pairs scan. One shuffle on
+    (band, byte) keys with the count-first degenerate-bucket cap;
+    verification is a native xor/popcount on 8-byte signatures."""
+    sims = simhash32(df, text_col, id_col).persist()  # signature agg
+    # runs once across the 4 band fan-outs and the verify joins
+    bands = sims.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255)).cast("string"))
+            for b in range(4)
+        ])).alias("bk"),
+    )
+    ok_keys = (
+        bands.groupBy("bk").agg(F.count("*").alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("bk")
+    )
+    buckets = (
+        bands.join(ok_keys, "bk", "left_semi")
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("id_a"),
+                                               y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", hamming_distance(F.col("ha"), F.col("hb")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_neardup_pairs_sql(
+    text_col: str = "text", id_col: str = "doc_id", table: str = "documents",
+    max_hamming: int = 3, max_bucket: int = MAX_BUCKET,
+) -> str:
+    sims = simhash32_sql(text_col, id_col, table)
+    return f"""
+WITH sims AS ({sims}),
+bands AS (
+  SELECT {id_col}, CAST(b AS VARCHAR) || ':' ||
+         CAST((simhash >> (8 * b)) & 255 AS VARCHAR) AS bk
+  FROM sims, (SELECT unnest([0, 1, 2, 3]) AS b) t
+),
+ok AS (
+  SELECT bk FROM bands GROUP BY bk
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b USING (bk) JOIN ok USING (bk)
+  WHERE a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN sims sa ON sa.{id_col} = id_a
+JOIN sims sb ON sb.{id_col} = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
 # -------------------------------------------------------- ngram jaccard
 
 
