@@ -345,6 +345,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (FAISS-style coarse quantizer with a deterministic
+    md5-selected codebook): assign cells map-only, probe the 2 nearest
+    cells, exact cosine within — the second scale path for similarity
+    search alongside sign-LSH."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    return sim.ivf_topk(emb, qvec, k=20)
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
@@ -997,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_neardup_pairs": _q_emb_neardup,
         "topk_display": _q_topk_display,
         "events_hourly": _q_events_hourly,
@@ -1272,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20"
         ),
         "ann_lsh_topk": _ann_topk_sql(),
+        "ivf_topk": sim.ivf_topk_sql(k=20),
         "embedding_neardup_pairs": sim.embedding_neardup_pairs_sql(threshold=0.3),
         "topk_display": (
             "WITH scored AS (SELECT doc_id, lang, n_chars, "

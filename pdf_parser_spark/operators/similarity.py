@@ -349,3 +349,152 @@ JOIN {table} va ON va.{id_col} = cand.id_a
 JOIN {table} vb ON vb.{id_col} = cand.id_b
 WHERE round({cosine_sql('va.' + vec_col, 'vb.' + vec_col)}, 6) >= {threshold}
 """
+
+
+# --------------------------------------------------- IVF-flat ANN
+
+#: codebook size / probe count for the IVF demo defaults
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def ivf_codebook(df: DataFrame, k: int = IVF_K,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """Deterministic IVF codebook: the k member vectors whose
+    md5(id) sorts first (engine-portable pseudo-random sample — no RNG
+    state, identical in Spark and DuckDB). Returns a driver-side list
+    of (centroid_index, vector); k is tiny so collecting it is the
+    same driver-side cost as a query vector.
+
+    A production IVF refines the codebook with Lloyd iterations; the
+    partition/probe mechanics below are identical either way, and a
+    deterministic codebook is what makes the oracle comparison exact.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [(i + 1, list(r[1])) for i, r in enumerate(rows)]
+
+
+def ivf_assign(df: DataFrame, codebook, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Map-only cell assignment: nearest centroid by cosine (ties →
+    lowest centroid index). k dot products per row, all native —
+    at 100 TB this is the embarrassingly-parallel build pass of the
+    IVF index; the output (id, cell) is the partition key for
+    cell-local search.
+
+    Expression-size discipline: the row norm is PROJECTED once and
+    centroid norms are plain Python floats (same left-to-right fold as
+    the engines, so doubles match bitwise) — inlining full cosine()
+    per centroid made Catalyst analyze/codegen a tree ~3x larger and
+    dominated wall time at small scale."""
+    norms = [
+        sum(x * x for x in vec) ** 0.5 for _, vec in codebook
+    ]
+    staged = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    )
+    coss = F.array(*[
+        F.when(
+            (F.col("_norm") > 0) & F.lit(nc > 0),
+            F.round(
+                dot(F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in vec]))
+                / (F.col("_norm") * F.lit(float(nc))), 6),
+        ).otherwise(F.lit(0.0))
+        for (_, vec), nc in zip(codebook, norms)
+    ])
+    # array_position returns the FIRST index of the max → lowest
+    # centroid index wins ties, matching the oracle's row_number order
+    cell = F.array_position(coss, F.array_max(coss)).cast("int")
+    return staged.select(F.col(id_col), F.col(vec_col),
+                         cell.alias("cell"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only vectors in the `nprobe`
+    cells nearest the query. Plan: codebook (driver-side, k rows) →
+    map-only assignment filter (cell IN probe set — no join, no
+    shuffle) → exact cosine + TakeOrderedAndProject. The scale story
+    mirrors FAISS IVF: the probe filter prunes ~(1 - nprobe/k) of the
+    corpus before any scoring work."""
+    codebook = ivf_codebook(df, n_centroids, vec_col, id_col)
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probes = sorted(
+        codebook, key=lambda c: (-round(cos_py(query_vec, c[1]), 6), c[0])
+    )[:nprobe]
+    probe_cells = [c[0] for c in probes]
+    assigned = ivf_assign(df, codebook, vec_col, id_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin: same deterministic codebook, same rounded-cosine /
+    lowest-index tie-breaks, query = the embedding of `query_id`."""
+    cos_ec = cosine_sql(f"e.{vec_col}", "c.cvec")
+    cos_eq = cosine_sql(f"e.{vec_col}", "q.qvec")
+    return f"""
+WITH cent AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS cidx
+  FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+),
+assign AS (
+  SELECT e.{id_col} AS vid, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round({cos_ec}, 6) DESC, c.cidx ASC
+         ) AS rn
+  FROM {table} e CROSS JOIN cent c
+),
+cells AS (SELECT vid, cidx FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT cidx FROM assign WHERE vid = {query_id} AND rn <= {nprobe}
+),
+q AS (SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id})
+SELECT e.{id_col}, round({cos_eq}, 6) AS cos_sim
+FROM {table} e
+JOIN cells ON cells.vid = e.{id_col}
+JOIN qprobe ON qprobe.cidx = cells.cidx, q
+ORDER BY cos_sim DESC, e.{id_col} ASC LIMIT {k}
+"""
