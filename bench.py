@@ -117,6 +117,7 @@ def main() -> None:
     # similarity search
     timed("cosine_topk", lambda: entry._q_cosine_topk(spark, sf_dir).collect())
     timed("ann_lsh_topk", lambda: entry._q_ann_topk(spark, sf_dir).collect())
+    timed("ivf_topk", lambda: entry._q_ivf_topk(spark, sf_dir).collect())
     timed(
         "emb_neardup",
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),
