@@ -89,3 +89,67 @@ def test_stateful_dedup_across_restarts(spark, tmp_path):
     # the 10 duplicates were suppressed by the persisted state
     assert len(rows) == 14
     assert len({r.fingerprint for r in rows}) == 14
+
+
+def test_watermarked_window_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics across availableNow cycles: a
+    row arriving UNDER the persisted watermark is dropped; an
+    already-finalized window is never re-emitted. (Append mode
+    finalizes a window on the batch AFTER the watermark passes it —
+    hence the pusher cycles.)"""
+    import datetime
+
+    from pdf_parser_spark.streaming.windowed import run_windowed_job
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def T(h):
+        return datetime.datetime(2025, 1, 1, h, 30)
+
+    def put(name, rows):
+        # append flat part-files into the watched dir (the parquet
+        # file source does not descend into subdirectories)
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    # cycle 1: three rows in hour 0 + a watermark pusher at hour 5.
+    # After the batch the checkpointed watermark is 04:30 (max 05:30
+    # minus the 1h delay); nothing emits yet (finalization happens on
+    # the next batch).
+    put("b1", [(T(0), "click", 1.0), (T(0), "click", 2.0),
+               (T(0), "view", 5.0), (T(5), "click", 1.0)])
+    run_windowed_job(spark, events_dir, out_dir, ckpt)
+
+    # cycle 2: one LATE hour-0 row (05:30-watermark says drop), one
+    # more on-time hour-5 row, and a pusher at hour 10. The hour-0
+    # window finalizes NOW — without the late row.
+    put("b2", [(T(0), "click", 9.0), (T(5), "click", 1.0),
+               (T(10), "view", 1.0)])
+    run_windowed_job(spark, events_dir, out_dir, ckpt)
+    got2 = {
+        (r.window_start.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # availableNow appends a trailing no-data batch, so the hour-5
+    # window (end 06:00 < the new 09:30 watermark) finalizes in this
+    # cycle too — WITHOUT the dropped late row (count 2, sum 2.0, not
+    # 3 / 11.0)
+    assert got2 == {(0, "click"): (2, 3.0), (0, "view"): (1, 5.0),
+                    (5, "click"): (2, 2.0)}
+
+    # cycle 3: pusher at hour 20; nothing is re-emitted, the hour-10
+    # window finalizes once
+    put("b3", [(T(20), "view", 1.0)])
+    run_windowed_job(spark, events_dir, out_dir, ckpt)
+    rows = spark.read.parquet(out_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.window_start.hour, r.event_type), []).append(
+            r.n_events)
+    assert by_key[(0, "click")] == [2]   # late row dropped, emitted once
+    assert by_key[(0, "view")] == [1]
+    assert by_key[(5, "click")] == [2]
+    assert by_key[(10, "view")] == [1]
