@@ -622,6 +622,35 @@ def _q_format_tables_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "m.row3_csv", "m.names_csv")
 
 
+def _q_tables_raw_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 raw table CSVs (reference table_extractor.py:406-439):
+    csv.writer defaults ('\\r\\n', QUOTE_MINIMAL — exercised by a
+    comma-bearing cell), headers row, and the ALWAYS-suffixed
+    _table_{i+1} names (no E2 single-table drop)."""
+
+    @F.pandas_udf("names_csv string, csv1 string")
+    def e1_udf(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        from pdf_parser_spark.operators.exports import export_tables_raw_csv
+
+        out = []
+        for i, text in zip(ids, texts):
+            d = int(i)
+            ws = text.split()
+            t = {"headers": ["h1", "h2"],
+                 "rows": [[ws[0], ws[1]],
+                          [f"{ws[2]},{ws[3]}", ws[4]]]}
+            files = export_tables_raw_csv([t], f"doc_{d}")
+            out.append({
+                "names_csv": "|".join(sorted(files)),
+                "csv1": files[f"doc_{d}_table_1.csv"],
+            })
+        return pd.DataFrame(out)
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", e1_udf("doc_id", "text").alias("m"))
+    return d.select("doc_id", "m.names_csv", "m.csv1")
+
+
 def _q_best_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 consolidated best-table choice (reference
     csv_converter.py:42-80) as the REAL operator: three synthetic
@@ -1024,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_tables": _q_merge_tables,
         "quality_filter": _q_quality_filter,
         "format_tables_csv": _q_format_tables_csv,
+        "tables_raw_csv": _q_tables_raw_csv,
         "best_table": _q_best_table,
         "text_to_table": _q_text_to_table,
         "result_json": _q_result_json,
@@ -1379,6 +1409,17 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '_table_1.csv|doc_' "
             "|| CAST(doc_id AS VARCHAR) || '_table_2.csv' END AS names_csv "
             "FROM w"
+        ),
+        "tables_raw_csv": (
+            "WITH w AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "'doc_' || CAST(doc_id AS VARCHAR) || '_table_1.csv' "
+            "AS names_csv, "
+            "'h1,h2' || chr(13) || chr(10) "
+            "|| ws[1] || ',' || ws[2] || chr(13) || chr(10) "
+            "|| '\"' || ws[3] || ',' || ws[4] || '\",' || ws[5] "
+            "|| chr(13) || chr(10) AS csv1 FROM w"
         ),
         "best_table": (
             "SELECT doc_id, "

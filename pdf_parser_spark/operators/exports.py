@@ -350,6 +350,32 @@ def export_tables_to_csv(tables: List[dict],
     return out
 
 
+# ------------------------------------------------------------------ E1
+
+
+def export_tables_raw_csv(tables: List[dict],
+                          base_filename: str) -> Dict[str, str]:
+    """E1 extractor-side CSV (src/table_extractor.py:406-439): one
+    file per table named {base}_table_{i+1}.csv (ALWAYS suffixed —
+    unlike E2's single-table drop), csv.writer DEFAULTS ('\\r\\n' line
+    endings, QUOTE_MINIMAL), a headers row when present, and rows
+    written raw — none of E2's 'None'/numeric-cast formatting."""
+    import csv as _csv
+    import io
+
+    out: Dict[str, str] = {}
+    for i, table in enumerate(tables or []):
+        buf = io.StringIO()
+        w = _csv.writer(buf)  # default lineterminator = '\r\n'
+        headers = table.get("headers", [])
+        if headers:
+            w.writerow(headers)
+        for row in table.get("rows", []):
+            w.writerow(row)
+        out[f"{base_filename}_table_{i+1}.csv"] = buf.getvalue()
+    return out
+
+
 # ------------------------------------------------------------------ E7
 
 

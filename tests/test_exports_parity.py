@@ -248,3 +248,34 @@ def test_detector_crash_contained(monkeypatch):
     monkeypatch.setattr(T.X, "detect_tables", boom)
     pdf = build_pdf([["some text"]], {0: (["a", "b"], [["c", "d"]])}, {})
     assert T.extract_tables(pdf) == []
+
+
+def test_e1_raw_csv_matches_reference(tmp_path):
+    """E1 byte-parity vs the RUNNING reference
+    (table_extractor.py:406-439): csv.writer defaults, headers row,
+    always-suffixed filenames."""
+    import sys
+    import types
+
+    # the reference module imports PIL at top level (unused by the
+    # E1 method under test); satisfy the import with a stub
+    if "PIL" not in sys.modules:
+        pil = types.ModuleType("PIL")
+        pil.Image = types.SimpleNamespace()
+        sys.modules["PIL"] = pil
+    te_mod = _load("table_extractor")
+    ref = te_mod.TableExtractor.__new__(te_mod.TableExtractor)
+
+    from pdf_parser_spark.operators.exports import export_tables_raw_csv
+
+    tables = [
+        {"headers": ["h1", "h2"], "rows": [["a", "b"], ["c,d", "e"]]},
+        {"headers": [], "rows": [["only", "rows"]]},
+        {"headers": ["q\"uote", "n"], "rows": [["x", "1"]]},
+    ]
+    paths = ref.save_tables_to_csv(tables, str(tmp_path), "doc")
+    ours = export_tables_raw_csv(tables, "doc")
+    assert sorted(os.path.basename(p) for p in paths) == sorted(ours)
+    for p in paths:
+        with open(p, newline="", encoding="utf-8") as f:
+            assert f.read() == ours[os.path.basename(p)], p
