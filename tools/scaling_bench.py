@@ -2,12 +2,12 @@
 
 Materializes a scaled-up pages corpus (sf0.1 documents replicated with
 distinct urls — identical per-doc work, enough total work that fixed
-overheads are noise), then runs the SAME extraction job at local[4]
-(N) and local[16] (4N) in fresh processes (warm-up pass inside each,
+overheads are noise), then runs the SAME extraction job at local[2]
+(N) and local[8] (4N) in fresh processes (warm-up pass inside each,
 timed pass measured) and reports throughput + scaling efficiency.
-Headline estimator: min-wall-per-level (best observed throughput at
-each level across interleaved trials, one ratio), with the per-pair
-ratio distribution and median reported alongside. Writes BENCH.md.
+Headline estimator: per-pair MEDIAN over interleaved trials, with
+min-wall-per-level and the quietest same-window pair as supporting
+numbers. Writes BENCH.md.
 
 A real N→4N-executor cluster is unavailable in this sandbox; per the
 driver instruction this stands in for the two-cluster-size criterion.
@@ -89,10 +89,10 @@ def main() -> None:
     lo, hi = 2, 8
     # Interleaved trials, accumulated across invocations: observed
     # run-to-run wall variance on this shared box reaches 2x (ambient
-    # co-tenant load), so the headline is the min-wall-per-level
-    # recomputed ratio with the full per-pair spread + median recorded.
-    # history is keyed by corpus size: docs/sec from different corpus
-    # sizes are not comparable (different overhead amortization)
+    # co-tenant load), so the headline is the per-pair MEDIAN with the
+    # full spread recorded. History is keyed by corpus size: docs/sec
+    # from different corpus sizes are not comparable (different
+    # overhead amortization).
     hist_path = f"/tmp/scaling_history_x{REPLICAS}.json"
     history = []
     if os.path.exists(hist_path):
@@ -125,24 +125,36 @@ def main() -> None:
             i += 2
         else:
             i += 1
-    effs = sorted(
+    ratios = [
         (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
         for a, b in pairs
-    )
+    ]
+    effs = sorted(ratios)
     med = effs[len(effs) // 2]
 
-    # HEADLINE estimator: min-wall-per-level recomputed ratio — each
-    # level's best observed throughput across all interleaved trials
-    # (min wall = least ambient co-tenant interference for that
-    # level), then ONE ratio from those two numbers. Unlike
-    # max-of-per-pair-ratios this cannot be inflated by a single
-    # lucky/unlucky pairing: both numerator and denominator are the
-    # same one-sided statistic. The per-pair distribution and its
-    # median are reported alongside for honesty about the spread.
+    # Supporting estimators alongside the MEDIAN headline:
+    # - min-wall-per-level: each level's best throughput across all
+    #   trials, one ratio. One-sided (load only slows runs), but the
+    #   two bests can come from different ambient windows, so with
+    #   enough trials it can exceed 1.0 — at which point it only says
+    #   "the N-side best is still load-limited" and the median is the
+    #   defensible number.
+    # - best same-trial pair by combined throughput: both runs from
+    #   one interleaved trial (same ambient window), picked by
+    #   lo_dps/lo_best + hi_dps/hi_best (NOT by its ratio — choosing
+    #   the max ratio would be the upward-biased selection the
+    #   round-1 review flagged).
     r_lo = max((a for a, _ in pairs), key=lambda r: r["docs_per_sec"])
     r_hi = max((b for _, b in pairs), key=lambda r: r["docs_per_sec"])
     t_lo, t_hi = r_lo["docs_per_sec"], r_hi["docs_per_sec"]
-    eff = (t_hi / t_lo) / (hi / lo)
+    eff_minwall = (t_hi / t_lo) / (hi / lo)
+    qi = max(
+        range(len(pairs)),
+        key=lambda i: pairs[i][0]["docs_per_sec"] / t_lo
+        + pairs[i][1]["docs_per_sec"] / t_hi,
+    )
+    q_lo, q_hi = pairs[qi]
+    eff_quiet = ratios[qi]
     effs_s = ", ".join(f"{e:.2f}" for e in effs)
 
     md = f"""# BENCH — measured results
@@ -161,34 +173,43 @@ BOTH levels; a wider pair puts only the 4N level at full saturation,
 so ambient bursts degrade it alone and read as false scaling loss
 (cluster equivalent: executor cores sized to physical cores with node
 headroom). Partition count (64) is IDENTICAL at both levels — only
-executor slots change, as on a real cluster. Config: Spark 4.1.2, AQE on (coalesce +
-skew join), `arrow.maxRecordsPerBatch=256`, shuffle partitions =
-max(cpus, 8), salted repartition by xxhash64(url), mapInPandas
-extraction (from-scratch PDF parser + boilerplate stripper).
+executor slots change, as on a real cluster. Config: Spark 4.1.2,
+AQE on (coalesce + skew join), `arrow.maxRecordsPerBatch=256`,
+shuffle partitions = max(cpus, 8), salted repartition by
+xxhash64(url), mapInPandas extraction (from-scratch PDF parser +
+boilerplate stripper).
 
-Estimator: min-wall-per-level — each level's best observed throughput
-across {len(pairs)} interleaved trials, one ratio from those two
-numbers (min wall is the standard noise-robust estimator for
-CPU-bound work on a shared box; ambient co-tenant load only ever
-slows a run down). The full per-pair ratio distribution is
-[{effs_s}] with median {med:.2f} — run-to-run wall variance from
-co-tenant load reaches 2x and hits whichever run it lands on, which
-is why single-pair ratios spread this widely in both directions.
+**Headline: per-pair MEDIAN efficiency {med:.2f}** over {len(pairs)}
+interleaved trial pairs (target >= 0.8 per BASELINE.json
+`north_rule`). Full per-pair ratio distribution: [{effs_s}] —
+run-to-run wall variance from ambient co-tenant load reaches 2x and
+hits whichever run it lands on, which is why single-pair ratios
+spread in both directions.
+
+Supporting estimators:
+
+- min-wall-per-level ratio: {eff_minwall:.2f} (lo best
+  {t_lo:.1f} docs/sec / {r_lo["sec"]:.1f} s; hi best {t_hi:.1f}
+  docs/sec / {r_hi["sec"]:.1f} s). One-sided — load only ever slows
+  a run — but the two bests may come from different ambient windows,
+  so values near/above 1.0 mean the N-side best is still
+  load-limited; the median above is the defensible headline.
+- quietest same-window pair (selected by combined throughput, NOT by
+  its ratio): {q_lo["docs_per_sec"]:.1f} -> {q_hi["docs_per_sec"]:.1f}
+  docs/sec = **{eff_quiet:.2f}** — both runs interleaved in one
+  ambient window.
 
 | parallelism | best docs/sec | wall (s) | errors |
 |---|---|---|---|
 | local[{lo}]  (N)  | {t_lo:.1f} | {r_lo["sec"]:.1f} | {r_lo["errors"]} |
 | local[{hi}] (4N) | {t_hi:.1f} | {r_hi["sec"]:.1f} | {r_hi["errors"]} |
 
-**Extraction throughput scaling efficiency (N -> 4N),
-min-wall-per-level: {eff:.2f}** (target >= 0.8 per BASELINE.json
-`north_rule`); per-pair median {med:.2f}.
-
 Why this evidences the 10^12-row design: the timed stage is pure
 map-side work (scan -> salted repartition -> mapInPandas -> agg);
 there is exactly one shuffle whose payload is the page bytes, the
-extraction cost per partition is uniform after url-hash salting, and
-nothing in the plan depends on total row count — the same plan at
+extraction cost per partition is uniform after url-hash salting (the
+round-1 coarse-salt straggler tail is fixed and regression-tested),
+and nothing in the plan depends on total row count — the same plan at
 1000 executors differs only in partition count.
 
 See BENCH_r*.json (driver-recorded) for the per-operator suite at
@@ -196,7 +217,8 @@ sf0.1; bench.py prints the JSON line.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
-    print(f"\nmin-wall efficiency={eff:.3f} median={med:.3f} (wrote BENCH.md)")
+    print(f"\nmedian={med:.3f} min-wall={eff_minwall:.3f} "
+          f"quiet-pair={eff_quiet:.3f} (wrote BENCH.md)")
 
 
 if __name__ == "__main__":
