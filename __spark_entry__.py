@@ -781,8 +781,10 @@ def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result path (csv_exporter.py:211-213)."""
     import os
 
-    out_dir = "/tmp/s5_roundtrip_" + os.path.basename(
-        os.path.normpath(sf_dir))
+    # per-process path: two concurrent runs against the same sf dir
+    # (check_oracle alongside bench) must not overwrite each other
+    out_dir = "/tmp/s5_roundtrip_{}_{}".format(
+        os.path.basename(os.path.normpath(sf_dir)), os.getpid())
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     docs.coalesce(4).write.mode("overwrite").json(out_dir)
     back = spark.read.json(out_dir)

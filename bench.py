@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+#: trials per query (median reported); override with SPARK_GRAFT_TRIALS=1
+#: for a quick pass
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -46,10 +51,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    from pdf_parser_spark.caching import release_cached
+
     def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        """Trial-median timing: run `fn` N_TRIALS times, record the
+        median wall — single-trial numbers can't be separated from
+        ambient co-tenant noise on this box (up to 2x wall variance).
+        Operator-internal caches are released between trials so each
+        trial pays the full plan."""
+        walls = []
+        out = None
+        for _ in range(N_TRIALS):
+            t0 = time.time()
+            out = fn()
+            walls.append(time.time() - t0)
+            release_cached()
+        timings[name] = round(sorted(walls)[len(walls) // 2], 3)
         return out
 
     # materialize the synthetic pages ONCE (datagen is bench harness,

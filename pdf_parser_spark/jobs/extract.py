@@ -283,6 +283,39 @@ LINEAGE_SCHEMA = (
 )
 
 
+def migrate_lineage(spark: SparkSession, lineage_path: str) -> None:
+    """One-time schema migration for lineage directories written by the
+    pre-rename code (column `wall_sec`, now `run_wall_sec`).
+
+    Lineage rows APPEND per run; appending the new schema next to old
+    footers would leave a mixed-schema directory where plain reads see
+    whichever footer Spark samples. Detect the old column and rewrite
+    the directory once (tiny table — ≤ n_buckets rows per run)."""
+    if not os.path.exists(lineage_path):
+        return
+    try:
+        lin = spark.read.option("mergeSchema", "true").parquet(lineage_path)
+    except Exception:
+        return
+    if "wall_sec" not in lin.columns:
+        return
+    migrated = lin.withColumn(
+        "run_wall_sec",
+        F.coalesce(F.col("run_wall_sec") if "run_wall_sec" in lin.columns
+                   else F.lit(None).cast("double"),
+                   F.col("wall_sec")),
+    ).drop("wall_sec").select(
+        "run_id", "url_bucket", "n_docs", "n_bytes", "n_errors",
+        "n_pdf", "n_html", "run_wall_sec", "status",
+    )
+    tmp = lineage_path + ".migrating"
+    migrated.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(lineage_path)
+    os.replace(tmp, lineage_path)
+
+
 def completed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
     if not os.path.exists(lineage_path):
         return None
@@ -324,6 +357,7 @@ def run_extract_job(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
     lineage_path = os.path.join(out_dir, "lineage.parquet")
+    migrate_lineage(spark, lineage_path)  # pre-rename wall_sec dirs
     done = completed_buckets(spark, lineage_path)
     if done is not None:
         pages = pages.join(F.broadcast(done), "url_bucket", "left_anti")

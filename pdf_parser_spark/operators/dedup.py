@@ -28,6 +28,8 @@ from typing import List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persisted
+
 # --------------------------------------------------------------- exact
 
 
@@ -235,9 +237,9 @@ def minhash_lsh_candidates(
     # Exchange and the md5-per-shingle work runs twice. At true
     # petabyte scale the equivalent move is materializing the band
     # table once (it is the reusable dedup index), not recomputing.
-    exploded = sig.select(
+    exploded = persisted(sig.select(
         id_col, F.explode("bands").alias("band_key")
-    ).persist()
+    ))  # registered cache — loop callers release via caching.release_cached()
     # Count-first gate BEFORE collect_list: the oversized member array
     # is never materialized, not just filtered after the fact.
     ok_keys = (
@@ -314,6 +316,8 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
     if it is ever hit before the fixpoint a warning reports how many
     labels were still moving.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
         .union(pairs.select(F.col(id_col_b).alias("a"),
@@ -478,8 +482,9 @@ def simhash_neardup_pairs(
     is EXACT for max_hamming <= 3 — no all-pairs scan. One shuffle on
     (band, byte) keys with the count-first degenerate-bucket cap;
     verification is a native xor/popcount on 8-byte signatures."""
-    sims = simhash32(df, text_col, id_col).persist()  # signature agg
-    # runs once across the 4 band fan-outs and the verify joins
+    sims = persisted(simhash32(df, text_col, id_col))  # signature agg
+    # runs once across the 4 band fan-outs and the verify joins;
+    # registered cache — loop callers release via caching.release_cached()
     bands = sims.select(
         F.col(id_col),
         F.explode(F.array(*[
@@ -585,8 +590,10 @@ def ngram_jaccard_pairs(
         F.explode_outer(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
-    ).withColumn("sh", F.md5(F.col("sh"))).persist()  # shingling runs once,
-    # not once per downstream consumer (sizes / hot-set / pair fan-out)
+    )
+    shing = persisted(shing.withColumn("sh", F.md5(F.col("sh"))))
+    # shingling runs once, not once per downstream consumer (sizes /
+    # hot-set / pair fan-out); registered cache — release_cached()
     sizes = shing.groupBy(id_col).agg(
         F.count(F.col("sh")).alias("n_sh")
     )

@@ -34,6 +34,8 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persisted
+
 N_PLANES = 16
 N_BANDS = 4  # 4 sign bits per band
 
@@ -277,10 +279,10 @@ def embedding_neardup_pairs(
     # the 16 hyperplane dot-products per vector run ONCE: persisted
     # before the count gate + member collection consumers (AQE's
     # broadcast conversion would otherwise recompute the keys)
-    keyed = df.select(
+    keyed = persisted(df.select(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col(vec_col), planes, n_bands)).alias("bk"),
-    ).persist()
+    ))  # registered cache — loop callers release via caching.release_cached()
     ok_keys = (
         keyed.groupBy("bk").agg(F.count("*").alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))

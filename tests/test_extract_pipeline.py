@@ -109,3 +109,38 @@ def test_resume_job(spark, pages_dir, tmp_path):
     assert docs.select("url").distinct().count() == total  # no double work
     lin = spark.read.parquet(os.path.join(out, "lineage.parquet"))
     assert lin.agg(F.sum("n_docs")).first()[0] == total
+
+
+def test_resume_over_old_lineage_schema(spark, pages_dir, tmp_path):
+    """Resuming over a lineage directory written by the pre-rename code
+    (column `wall_sec`) must migrate instead of appending a second
+    schema into the same parquet directory."""
+    from pdf_parser_spark.jobs.extract import run_extract_job
+
+    out = str(tmp_path / "out")
+    pages_path = os.path.join(pages_dir, "pages.parquet")
+    total = spark.read.parquet(pages_path).count()
+
+    r1 = run_extract_job(
+        spark, pages_path, out, run_id="old", n_buckets=16, limit_buckets=8
+    )
+    lineage_path = os.path.join(out, "lineage.parquet")
+    # rewrite r1's lineage with the OLD column name, simulating a
+    # directory left behind by the previous code version
+    old = spark.read.parquet(lineage_path).withColumnRenamed(
+        "run_wall_sec", "wall_sec")
+    old_rows = old.collect()
+    import shutil
+
+    shutil.rmtree(lineage_path)
+    spark.createDataFrame(old_rows, old.schema).write.parquet(lineage_path)
+
+    r2 = run_extract_job(spark, pages_path, out, run_id="new", n_buckets=16)
+    assert r2["n_docs"] == total
+    lin = spark.read.parquet(lineage_path)  # plain read, no mergeSchema
+    assert "run_wall_sec" in lin.columns and "wall_sec" not in lin.columns
+    assert lin.agg(F.sum("n_docs")).first()[0] == total
+    # the migrated old rows kept their wall values and doc counts
+    old_lin = lin.filter(F.col("run_id") == "old")
+    assert old_lin.filter(F.col("run_wall_sec").isNull()).count() == 0
+    assert old_lin.agg(F.sum("n_docs")).first()[0] == r1["n_docs_run"] > 0

@@ -74,6 +74,14 @@ def test_embedding_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_cluster_rejects_nonpositive_max_iter(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.dedup_clusters(pairs, max_iter=0)
+
+
 def test_cluster_warns_when_iteration_capped(spark):
     import pytest
 

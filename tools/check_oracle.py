@@ -66,6 +66,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error {e}")
             failures.append(name)
             continue
+        finally:
+            from pdf_parser_spark.caching import release_cached
+
+            release_cached()  # free operator-internal caches per query
         if name not in os_:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
