@@ -357,6 +357,18 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, qvec, k=20)
 
 
+def _q_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a Lloyd-refined codebook: ivf_build runs 2
+    k-means iterations (assignment map + k×dim mean aggregate each)
+    and persists the final assignment; ivf_search probes 2 of 8 cells.
+    The DuckDB twin unrolls the same two iterations as CTEs."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    return sim.ivf_topk(emb, qvec, k=20, lloyd_iters=2)
+
+
 def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
@@ -1041,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_refined_topk": _q_ivf_refined_topk,
         "embedding_neardup_pairs": _q_emb_neardup,
         "topk_display": _q_topk_display,
         "events_hourly": _q_events_hourly,
@@ -1318,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _ann_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(k=20),
+        "ivf_refined_topk": sim.ivf_refined_topk_sql(k=20, lloyd_iters=2),
         "embedding_neardup_pairs": sim.embedding_neardup_pairs_sql(threshold=0.3),
         "topk_display": (
             "WITH scored AS (SELECT doc_id, lang, n_chars, "

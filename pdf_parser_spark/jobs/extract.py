@@ -169,12 +169,22 @@ def _make_fused_batches(chunk_size: int, chunk_overlap: int,
         from ..functions.chunk import chunk_text
         from ..functions.clean import clean_text
 
+        # worker-side engine autodetect (memoized per Python worker):
+        # an executor with pytesseract/pdf2image/Pillow installed gets
+        # real OCR with zero code change; without them the per-document
+        # ocr_error degrade path runs exactly as before
+        engine = ocr_engine
+        if force_ocr and engine is None:
+            from ..operators.ocr import default_engine
+
+            engine = default_engine()
+
         cols = [f.name for f in schema.fields]
         for b in batches:
             rows = []
             for url, payload in zip(b["url"], b["html"]):
                 r = extract_one(payload, force_ocr=force_ocr,
-                                ocr_engine=ocr_engine)
+                                ocr_engine=engine)
                 text = clean_text(r.pop("raw_text"))
                 chunks = chunk_text(text, chunk_size, chunk_overlap)
                 r.update(url=url, text=text,
@@ -198,6 +208,61 @@ def _make_fused_batches(chunk_size: int, chunk_overlap: int,
             yield pd.DataFrame(rows, columns=cols)
 
     return run
+
+
+#: payload-size cutoff (bytes) above which a document is routed to the
+#: heavy tier. 4 MiB ≈ 40x the median crawl page; anything above it is
+#: the multi-hundred-MB-PDF tail the north rule's skew handling exists
+#: for. Override per corpus (or pass size_col for a metadata split).
+DEFAULT_HEAVY_BYTES = 4 * 1024 * 1024
+
+
+def size_tiered_repartition(
+    df: DataFrame,
+    partitions: int,
+    payload_col: str = "html",
+    heavy_bytes: int = DEFAULT_HEAVY_BYTES,
+    heavy_fanout: int = 4,
+    size_col: Optional[str] = None,
+) -> DataFrame:
+    """Byte-size-aware skew defusal (SURVEY §4.3): url-hash salting
+    alone spreads doc COUNT evenly, but a heavy tail of giant documents
+    (multi-hundred-MB PDFs are normal in a web crawl) still lands whole
+    docs on single tasks — AQE cannot split a straggler *map* task, so
+    a task that drew a giant PLUS its full share of small docs idles
+    the rest of the cluster at stage end.
+
+    Fix: tier by payload size.
+    - light docs (< heavy_bytes) hash-spread over `partitions` exactly
+      as before — balls-into-bins variance on bounded-size docs is
+      O(1/sqrt(n/P)), sub-1% at any realistic partition size;
+    - heavy docs hash-spread over `partitions * heavy_fanout` MOSTLY-
+      EMPTY partitions, so each heavy task holds ~one giant and no
+      light share: the stage's critical path drops to max(light share,
+      one giant parse) — the irreducible floor without splitting a
+      single document's parse.
+
+    The union of the two repartitions is narrow (partition lists
+    concatenate), so the extraction mapInPandas still runs in ONE
+    stage with ONE shuffle per tier and empty heavy partitions cost
+    only a no-op task launch.
+
+    I/O note for 100 TB: the two `where` branches each scan the
+    source, and `length(payload)` must read the payload bytes — a 2x
+    read of the payload column. On a real lakehouse table pass
+    `size_col` (e.g. the WARC record length column every crawl table
+    carries): the split predicate then pushes down to row-group /
+    file stats and each branch reads only its own rows.
+    """
+    nbytes = (F.col(size_col).cast("long") if size_col
+              else F.coalesce(F.length(F.col(payload_col)).cast("long"),
+                              F.lit(0)))
+    light = df.where(nbytes < F.lit(heavy_bytes))
+    heavy = df.where(nbytes >= F.lit(heavy_bytes))
+    light_rep = light.repartition(partitions, F.xxhash64(F.col("url")))
+    heavy_rep = heavy.repartition(partitions * heavy_fanout,
+                                  F.xxhash64(F.col("url")))
+    return light_rep.unionByName(heavy_rep)
 
 
 def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
@@ -228,6 +293,9 @@ def extract_documents(
     fused: bool = True,
     force_ocr: bool = False,
     ocr_engine=None,
+    heavy_bytes: Optional[int] = DEFAULT_HEAVY_BYTES,
+    heavy_fanout: int = 4,
+    size_col: Optional[str] = None,
 ) -> DataFrame:
     """pages → documents DataFrame (lazy; no side effects).
 
@@ -241,10 +309,22 @@ def extract_documents(
     --force-ocr flag: PDF documents additionally carry
     ocr_text/ocr_num_chunks/ocr_by_page/ocr_error columns produced by
     the injected OCR engine inside the SAME mapInPandas pass.
+
+    heavy_bytes (default 4 MiB) routes giant payloads to their own
+    mostly-empty partition tier (size_tiered_repartition) so a heavy
+    byte tail cannot straggle the extraction stage; pass None to fall
+    back to pure url-hash salting (count balance only).
     """
     spark = pages.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
-    salted = salted_repartition(pages.select("url", "html"), partitions)
+    cols = ["url", "html"] + ([size_col] if size_col else [])
+    if heavy_bytes is not None:
+        salted = size_tiered_repartition(
+            pages.select(*cols), partitions, heavy_bytes=heavy_bytes,
+            heavy_fanout=heavy_fanout, size_col=size_col,
+        ).select("url", "html")
+    else:
+        salted = salted_repartition(pages.select("url", "html"), partitions)
 
     if force_ocr:
         return salted.mapInPandas(

@@ -206,23 +206,16 @@ def lsh_band_keys(sig: Column, n_bands: int = N_BANDS,
 MAX_BUCKET = 1000
 
 
-def minhash_lsh_candidates(
+def band_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 5, max_bucket: int = MAX_BUCKET,
+    shingle_n: int = 5,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-
-    Plan shape: signature (map-only, one md5 per shingle) → explode
-    band keys → groupBy band key collecting member ids → emit in-bucket
-    pairs with a native nested transform → distinct. ONE shuffle on
-    16-byte keys; signatures are computed exactly once (no self-join
-    recomputation), and full texts never cross the wire. Docs with no
-    shingles (< shingle_n words) are dropped first — at web scale the
-    empty-shingle sentinel bucket would otherwise go quadratic — and
-    buckets larger than `max_bucket` are dropped entirely (see
-    MAX_BUCKET). The count of dropped buckets is observable via
-    `lsh_dropped_buckets` on the same input.
-    """
+    """(id, band_key) rows — the reusable dedup index relation: one
+    row per (document, LSH band). Map-only (one md5 per shingle via
+    the single-fold signature); docs with no shingles (< shingle_n
+    words) are dropped here, at the source — at web scale the
+    empty-shingle sentinel bucket would otherwise go quadratic.
+    jobs/dedup_index.py materializes exactly this relation."""
     has_shingles = (F.trim(F.col(text_col)) != "") & (
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
     )
@@ -231,17 +224,17 @@ def minhash_lsh_candidates(
         lsh_band_keys(minhash_signature(F.col(text_col), shingle_n=shingle_n))
         .alias("bands"),
     )
-    # signature map runs ONCE: (id, band_key) is persisted before the
-    # two consumers (count gate + member collection) — without this,
-    # AQE's broadcast conversion of the semi-join removes the shared
-    # Exchange and the md5-per-shingle work runs twice. At true
-    # petabyte scale the equivalent move is materializing the band
-    # table once (it is the reusable dedup index), not recomputing.
-    exploded = persisted(sig.select(
-        id_col, F.explode("bands").alias("band_key")
-    ))  # registered cache — loop callers release via caching.release_cached()
-    # Count-first gate BEFORE collect_list: the oversized member array
-    # is never materialized, not just filtered after the fact.
+    return sig.select(id_col, F.explode("bands").alias("band_key"))
+
+
+def pairs_from_band_table(
+    exploded: DataFrame, id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs from an (id, band_key) relation: count-first
+    bucket gate BEFORE collect_list (the oversized member array is
+    never materialized), sorted members, native in-bucket pair
+    fan-out, distinct. ONE shuffle on 16-byte keys."""
     ok_keys = (
         exploded.groupBy("band_key").agg(F.count("*").alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
@@ -268,6 +261,40 @@ def minhash_lsh_candidates(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 5, max_bucket: int = MAX_BUCKET,
+    index: DataFrame = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Plan shape: signature (map-only, one md5 per shingle) → explode
+    band keys → groupBy band key collecting member ids → emit in-bucket
+    pairs with a native nested transform → distinct (band_table +
+    pairs_from_band_table). Signatures are computed exactly once (no
+    self-join recomputation), and full texts never cross the wire.
+    Buckets larger than `max_bucket` are dropped entirely (see
+    MAX_BUCKET); the count of dropped buckets is observable via
+    `lsh_dropped_buckets` on the same input.
+
+    `index`: a previously MATERIALIZED (id, band_key) relation (see
+    jobs/dedup_index.py) — when given, the signature pass is skipped
+    entirely and candidates come straight off the index, which is how
+    a 100 TB deployment amortizes the per-shingle hash work across
+    many dedup runs.
+    """
+    if index is not None:
+        return pairs_from_band_table(index, id_col, max_bucket)
+    # the signature map runs ONCE: (id, band_key) is persisted before
+    # the two consumers (count gate + member collection) — without
+    # this, AQE's broadcast conversion of the semi-join removes the
+    # shared Exchange and the md5-per-shingle work runs twice. The
+    # durable equivalent is the materialized index above.
+    exploded = persisted(band_table(df, text_col, id_col, shingle_n))
+    # registered cache — loop callers release via caching.release_cached()
+    return pairs_from_band_table(exploded, id_col, max_bucket)
 
 
 def lsh_dropped_buckets(

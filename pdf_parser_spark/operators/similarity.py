@@ -419,6 +419,108 @@ def ivf_assign(df: DataFrame, codebook, vec_col: str = "embedding",
                          cell.alias("cell"))
 
 
+def _cos_py(a, b) -> float:
+    d = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return d / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+class IvfIndex:
+    """A built IVF-flat index: the (refined) driver-side codebook plus
+    the PERSISTED (id, vector, cell) assignment table. Build once,
+    search many — the assignment pass (the only full-corpus work) never
+    reruns per query. At 100 TB `assigned` would be a written table
+    partitioned by `cell` so a probe reads only its cells' files; here
+    it is a registered cache (caching.release_cached() frees it)."""
+
+    def __init__(self, codebook, assigned: DataFrame,
+                 vec_col: str, id_col: str):
+        self.codebook = codebook
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def probe_cells(self, query_vec, nprobe: int = IVF_NPROBE):
+        """Driver-side: the nprobe centroid indexes nearest the query
+        (rounded-cosine order, lowest index tie-break — matches the
+        SQL twin's row_number order)."""
+        probes = sorted(
+            self.codebook,
+            key=lambda c: (-round(_cos_py(query_vec, c[1]), 6), c[0]),
+        )[:nprobe]
+        return [c[0] for c in probes]
+
+
+def ivf_lloyd_step(assigned: DataFrame, codebook, dim: int,
+                   vec_col: str = "embedding"):
+    """One Lloyd iteration: per-cell elementwise centroid means (one
+    shuffle of k×dim partial aggregates — map-side combine, k rows
+    out), rounded to 6 dp for engine portability. Cells that lost all
+    members keep their previous centroid (standard k-means practice;
+    also what the SQL twin's left join + coalesce encodes)."""
+    means = (
+        assigned.groupBy("cell")
+        .agg(*[
+            F.round(F.avg(F.col(vec_col).getItem(i)), 6).alias(f"m{i}")
+            for i in range(dim)
+        ])
+        .collect()
+    )
+    by_cell = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)]
+               for r in means}
+    return [(cidx, by_cell.get(cidx, vec)) for cidx, vec in codebook]
+
+
+def ivf_build(
+    df: DataFrame,
+    k: int = IVF_K,
+    lloyd_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    """Build the IVF index ONCE: deterministic seed codebook →
+    `lloyd_iters` refinement passes (each = one assignment map + one
+    k×dim mean aggregate) → final assignment persisted. This is the
+    build/search split a 100 TB deployment needs — ivf_search touches
+    only probed cells of the prebuilt assignment and never rescans the
+    corpus. lloyd_iters=0 keeps the raw md5-seeded codebook (exactly
+    the oracle-checked `ivf_topk` semantics); 2-3 iterations give the
+    FAISS-style refined coarse quantizer."""
+    codebook = ivf_codebook(df, k, vec_col, id_col)
+    if not codebook:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    dim = len(codebook[0][1])
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(df, codebook, vec_col, id_col)
+        codebook = ivf_lloyd_step(assigned, codebook, dim, vec_col)
+    assigned = persisted(ivf_assign(df, codebook, vec_col, id_col))
+    return IvfIndex(codebook, assigned, vec_col, id_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query_vec,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search a prebuilt IVF index: probe-cell filter on the persisted
+    assignment (no join, no shuffle, no rebuild) → exact cosine →
+    TakeOrderedAndProject. The probe filter prunes ~(1 - nprobe/k) of
+    the corpus before any scoring work."""
+    probe_cells = index.probe_cells(query_vec, nprobe)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        index.assigned.where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(index.id_col),
+            F.round(cosine(F.col(index.vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(index.id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec,
@@ -427,36 +529,16 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: score only vectors in the `nprobe`
-    cells nearest the query. Plan: codebook (driver-side, k rows) →
-    map-only assignment filter (cell IN probe set — no join, no
-    shuffle) → exact cosine + TakeOrderedAndProject. The scale story
-    mirrors FAISS IVF: the probe filter prunes ~(1 - nprobe/k) of the
-    corpus before any scoring work."""
-    codebook = ivf_codebook(df, n_centroids, vec_col, id_col)
-
-    def cos_py(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
-
-    probes = sorted(
-        codebook, key=lambda c: (-round(cos_py(query_vec, c[1]), 6), c[0])
-    )[:nprobe]
-    probe_cells = [c[0] for c in probes]
-    assigned = ivf_assign(df, codebook, vec_col, id_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (
-        assigned.where(F.col("cell").isin(probe_cells))
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
-    )
+    """IVF-flat approximate top-k = ivf_build + ivf_search (one-shot
+    convenience; a session answering many queries should hold the
+    IvfIndex and call ivf_search directly). lloyd_iters=0 is the
+    deterministic-codebook path the DuckDB oracle mirrors exactly;
+    lloyd_iters>=1 is the refined path (ivf_refined_topk_sql mirrors
+    it with unrolled k-means iterations)."""
+    index = ivf_build(df, n_centroids, lloyd_iters, vec_col, id_col)
+    return ivf_search(index, query_vec, k, nprobe)
 
 
 def ivf_topk_sql(
@@ -500,3 +582,86 @@ JOIN cells ON cells.vid = e.{id_col}
 JOIN qprobe ON qprobe.cidx = cells.cidx, q
 ORDER BY cos_sim DESC, e.{id_col} ASC LIMIT {k}
 """
+
+
+def ivf_refined_topk_sql(
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    lloyd_iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of ivf_topk(lloyd_iters=N): the k-means refinement
+    is UNROLLED — one (assign, elementwise-mean, coalesce) CTE triple
+    per iteration, generated here by the same loop that drives the
+    Spark side. Means are rounded to 6 dp in both engines (the only
+    cross-engine float hazard is aggregation order inside avg(), ~1e-15
+    relative — far below the rounding grain), and empty cells keep the
+    previous centroid via LEFT JOIN + coalesce, mirroring
+    ivf_lloyd_step's dict fallback."""
+    ctes = [
+        f"""cent0 AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS cidx
+  FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+)"""
+    ]
+    cos_ec = cosine_sql(f"e.{vec_col}", "c.cvec")
+    for t in range(1, lloyd_iters + 1):
+        ctes.append(f"""assign{t} AS (
+  SELECT e.{id_col} AS vid, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round({cos_ec}, 6) DESC, c.cidx ASC
+         ) AS rn
+  FROM {table} e CROSS JOIN cent{t - 1} c
+)""")
+        ctes.append(f"""mean{t} AS (
+  SELECT cidx, list(v ORDER BY i) AS cvec FROM (
+    SELECT a.cidx, gs.i, round(avg(e.{vec_col}[gs.i]), 6) AS v
+    FROM assign{t} a
+    JOIN {table} e ON e.{id_col} = a.vid,
+         generate_series(1, {dim}) gs(i)
+    WHERE a.rn = 1
+    GROUP BY a.cidx, gs.i
+  ) GROUP BY cidx
+)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT p.cidx, coalesce(m.cvec, p.cvec) AS cvec
+  FROM cent{t - 1} p LEFT JOIN mean{t} m USING (cidx)
+)""")
+    fin = lloyd_iters
+    cos_eq = cosine_sql(f"e.{vec_col}", "q.qvec")
+    ctes.append(f"""assignF AS (
+  SELECT e.{id_col} AS vid, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round({cos_ec}, 6) DESC, c.cidx ASC
+         ) AS rn
+  FROM {table} e CROSS JOIN cent{fin} c
+)""")
+    ctes.append("cells AS (SELECT vid, cidx FROM assignF WHERE rn = 1)")
+    ctes.append(
+        f"qprobe AS (SELECT cidx FROM assignF "
+        f"WHERE vid = {query_id} AND rn <= {nprobe})"
+    )
+    ctes.append(
+        f"q AS (SELECT {vec_col} AS qvec FROM {table} "
+        f"WHERE {id_col} = {query_id})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.{id_col}, round({cos_eq}, 6) AS cos_sim
+FROM {table} e
+JOIN cells ON cells.vid = e.{id_col}
+JOIN qprobe ON qprobe.cidx = cells.cidx, q
+ORDER BY cos_sim DESC, e.{id_col} ASC LIMIT {k}
+"""
+    )

@@ -51,6 +51,43 @@ def events_windowed_stream(
     )
 
 
+def run_windowed_complete(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+) -> None:
+    """Run the windowed aggregation over every currently-visible file
+    to COMPLETION and overwrite `out_dir` with the final snapshot, via
+    foreachBatch in complete output mode.
+
+    This is the batch-parity mode: complete mode keeps all window
+    state (the watermark drops nothing — documented Structured
+    Streaming semantics: state cannot be freed when every result row
+    must remain emittable), so the final snapshot equals the batch
+    groupBy over the same files exactly. Append mode (run_windowed_job)
+    trades that for bounded state: it emits each window once when the
+    watermark passes it and drops late rows — tests assert both
+    behaviors against each other."""
+
+    def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        # each micro-batch of complete mode carries the FULL result so
+        # far; overwriting leaves the last (= total) snapshot
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    agg = events_windowed_stream(read_events_stream(spark, events_dir),
+                                 window)
+    q = (
+        agg.writeStream.foreachBatch(write_snapshot)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_windowed_job(
     spark: SparkSession,
     events_dir: str,

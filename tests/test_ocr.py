@@ -119,3 +119,56 @@ def test_force_ocr_engine_unavailable_degrades(spark):
     assert r.text == "native text"
     assert r.ocr_text is None
     assert "not available" in r.ocr_error
+
+
+# ------------------------------------------------ binding autodetect
+
+def test_default_engine_contract():
+    # In any environment: None (stack absent) or a full
+    # OcrEngineWithImages (stack present) — never a partial binding.
+    from pdf_parser_spark.operators.ocr import (
+        OcrEngineWithImages, default_engine,
+    )
+
+    eng = default_engine(use_cache=False)
+    assert eng is None or isinstance(eng, OcrEngineWithImages)
+    # memoized path answers the same
+    assert type(default_engine()) is type(eng)
+
+
+def test_force_ocr_autodetect_degrades_without_stack(spark):
+    """force_ocr with NO injected engine resolves worker-side: on a
+    machine without the tesseract stack the document still extracts
+    natively and carries ocr_error (identical to the explicit-seam
+    behavior above); on a machine WITH the stack it would OCR for
+    real — test_real_tesseract_roundtrip covers that half."""
+    from pdf_parser_spark.jobs.extract import extract_documents
+    from pdf_parser_spark.operators.ocr import default_engine
+
+    if default_engine(use_cache=False) is not None:
+        pytest.skip("real OCR stack installed — degrade path n/a here")
+    rows = [("u1", bytearray(build_pdf([["native text"]], {}, {})))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    r = extract_documents(pages, partitions=1, force_ocr=True).collect()[0]
+    assert r.text == "native text"
+    assert r.ocr_text is None
+    assert "not available" in r.ocr_error
+
+
+@pytest.mark.skipif(
+    __import__("pdf_parser_spark.operators.ocr", fromlist=["default_engine"])
+    .default_engine(use_cache=False) is None,
+    reason="pytesseract/pdf2image/Pillow + tesseract binary not installed",
+)
+def test_real_tesseract_roundtrip(spark):
+    """Integration half of the autodetect (runs only where the real
+    stack exists): force_ocr with no injected engine must produce real
+    per-page OCR text through the unchanged pipeline."""
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    rows = [("u1", bytearray(build_pdf([["HELLO OCR"]], {}, {})))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    r = extract_documents(pages, partitions=1, force_ocr=True).collect()[0]
+    assert r.ocr_error is None
+    assert r.ocr_by_page and "1" in r.ocr_by_page
+    assert r.ocr_text is not None

@@ -35,3 +35,61 @@ def test_ivf_assignment_partitions_everything(spark):
     qvec = list(emb.where(F.col("vec_id") == 7).first()["embedding"])
     probed = sim.ivf_topk(emb, qvec, k=10**6, nprobe=sim.IVF_NPROBE)
     assert probed.count() < n
+
+
+def _recall_at(spark, emb, k, **build_kw):
+    """Mean recall@k of IVF search vs brute-force cosine over a few
+    corpus-member queries."""
+    index = sim.ivf_build(emb, **build_kw)
+    hits, total = 0, 0
+    for qid in (0, 7, 23):
+        qvec = list(emb.where(F.col("vec_id") == qid).first()["embedding"])
+        truth = {r.vec_id for r in sim.cosine_topk(
+            emb, qvec, k=k, id_col="vec_id").collect()}
+        got = {r.vec_id for r in sim.ivf_search(index, qvec, k=k).collect()}
+        hits += len(truth & got)
+        total += len(truth)
+    return hits / total
+
+
+def test_ivf_build_search_reuse(spark):
+    """ivf_build runs the corpus passes ONCE; ivf_search over the held
+    index answers repeated queries and matches the one-shot ivf_topk
+    on the same lloyd_iters."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    index = sim.ivf_build(emb, lloyd_iters=2)
+    assert len(index.codebook) == sim.IVF_K
+    for qid in (0, 7):
+        qvec = list(emb.where(F.col("vec_id") == qid).first()["embedding"])
+        got = sim.ivf_search(index, qvec, k=10).collect()
+        assert len(got) == 10
+        assert got[0].vec_id == qid and got[0].cos_sim == 1.0
+        one_shot = sim.ivf_topk(emb, qvec, k=10, lloyd_iters=2).collect()
+        assert [(r.vec_id, r.cos_sim) for r in got] == [
+            (r.vec_id, r.cos_sim) for r in one_shot
+        ]
+
+
+def test_lloyd_step_keeps_empty_cells(spark):
+    """A centroid whose cell loses every member must survive a Lloyd
+    step unchanged (dict-fallback path), so the codebook never
+    shrinks."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+    cb = sim.ivf_codebook(emb, k=sim.IVF_K)
+    assigned = sim.ivf_assign(emb, cb)
+    # force cell 1 empty by dropping its members before the step
+    pruned = assigned.where(F.col("cell") != 1)
+    dim = len(cb[0][1])
+    nxt = sim.ivf_lloyd_step(pruned, cb, dim)
+    assert len(nxt) == len(cb)
+    assert nxt[0] == cb[0]  # cell 1 centroid untouched
+
+
+def test_lloyd_refinement_recall(spark):
+    """Refined (2-iteration) IVF keeps useful recall@20 vs brute force
+    on real test embeddings; both paths must beat random probing (2/8
+    cells ~ 0.25 expected for a useless partition)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    r0 = _recall_at(spark, emb, 20, lloyd_iters=0)
+    r2 = _recall_at(spark, emb, 20, lloyd_iters=2)
+    assert r0 > 0.3 and r2 > 0.3, (r0, r2)

@@ -6,7 +6,9 @@ quadratically; clustering must converge past any fixed round count."""
 
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.jobs.extract import salted_repartition
+from pdf_parser_spark.jobs.extract import (
+    extract_one, salted_repartition, size_tiered_repartition,
+)
 from pdf_parser_spark.operators import dedup
 from pdf_parser_spark.operators import similarity as sim
 
@@ -44,6 +46,78 @@ def test_salting_spreads_clustered_giants(spark):
     # salted: the heaviest partition carries a bounded share
     assert max(salted_sums) < 0.35 * total
     assert len(salted_sums) == n_parts
+
+
+def _task_walls(df):
+    """Per-task wall seconds for the REAL extraction work (extract_one
+    over every payload in the partition), one row per task. No-op tasks
+    (the mostly-empty heavy tier) are excluded: an empty task is a
+    ~ms launch, not a straggler, and counting its ~0 wall in the median
+    would only flatter the ratio."""
+    import time
+
+    import pandas as pd
+
+    def timed(batches):
+        t0 = time.time()
+        n = 0
+        for b in batches:
+            for payload in b["html"]:
+                extract_one(payload)
+                n += 1
+        yield pd.DataFrame([{"n": n, "wall": time.time() - t0}])
+
+    rows = df.mapInPandas(timed, "n long, wall double").collect()
+    return sorted(r.wall for r in rows if r.n > 0)
+
+
+def _html_doc(i: int, n_bytes: int) -> bytes:
+    para = ("<p>the quick brown fox jumps over the lazy dog near the "
+            "riverbank while autumn leaves drift slowly downstream</p>\n")
+    body = para * max(1, n_bytes // len(para))
+    return ("<html><head><title>doc %d</title></head><body>"
+            "<div id='nav'><a href='/a'>nav</a></div>%s</body></html>"
+            % (i, body)).encode()
+
+
+def test_size_tiering_bounds_straggler_wall(spark):
+    """VERDICT r2 #1 done-criterion: heavy-tail corpus (one doc 100x
+    the median bytes) must show max-task/median-task wall <= 2x under
+    size-tiered repartitioning, while url-salting alone (count balance
+    only) leaves a worse straggler — the giant rides one url-hash
+    partition ON TOP of that partition's full light share."""
+    import statistics
+
+    small, giant_sz = 20_000, 2_000_000  # giant = 100x median bytes
+    rows = [(f"https://site{i % 37}.example/p/{i:05d}", _html_doc(i, small))
+            for i in range(520)]
+    rows.append(("https://giant.example/the-big-one",
+                 _html_doc(99999, giant_sz)))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    n_parts = 8
+
+    salted = salted_repartition(pages, n_parts)
+    tiered = size_tiered_repartition(pages, n_parts,
+                                     heavy_bytes=1_000_000)
+
+    salted_walls = _task_walls(salted)
+    tiered_walls = _task_walls(tiered)
+    salted_ratio = salted_walls[-1] / statistics.median(salted_walls)
+    tiered_ratio = tiered_walls[-1] / statistics.median(tiered_walls)
+
+    assert tiered_ratio <= 2.0, (salted_walls, tiered_walls)
+    assert salted_ratio > tiered_ratio, (salted_walls, tiered_walls)
+
+
+def test_size_tiering_preserves_rows(spark):
+    rows = [(f"https://s.example/{i}", b"x" * (10 + i)) for i in range(50)]
+    rows += [(f"https://g.example/{i}", b"y" * 5000) for i in range(3)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    tiered = size_tiered_repartition(pages, 4, heavy_bytes=1000)
+    assert tiered.count() == 53
+    # byte totals unchanged — no row duplicated or dropped by the split
+    tot = tiered.agg(F.sum(F.length("html"))).first()[0]
+    assert tot == sum(len(h) for _, h in rows)
 
 
 def test_lsh_bucket_cap_drops_degenerate_band(spark):

@@ -153,3 +153,61 @@ def test_watermarked_window_drops_late_rows(spark, tmp_path):
     assert by_key[(0, "view")] == [1]
     assert by_key[(5, "click")] == [2]
     assert by_key[(10, "view")] == [1]
+
+
+def test_windowed_stream_matches_batch_on_fixture(spark, tmp_path):
+    """Streaming↔batch parity oracle (VERDICT r2 #8): the windowed
+    stream run to COMPLETION (foreachBatch, complete mode — watermark
+    frees no state) over the real events fixture must equal the batch
+    groupBy with the identical window/aggregates, row for row. The
+    append-mode run over the same files must emit a SUBSET: only
+    windows the final checkpointed watermark finalized — the
+    documented semantic gap between the two modes."""
+    from pdf_parser_spark.streaming.windowed import (
+        run_windowed_complete, run_windowed_job,
+    )
+
+    import shutil
+
+    # the fixture is a single parquet FILE; the file stream source
+    # watches a directory — stage a copy (testdata is read-only)
+    events_dir = str(tmp_path / "events_src")
+    os.makedirs(events_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(events_dir, "part-0.parquet"))
+    out_c = str(tmp_path / "complete_out")
+    out_a = str(tmp_path / "append_out")
+
+    run_windowed_complete(spark, events_dir, out_c,
+                          str(tmp_path / "ckpt_c"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_c).collect()
+    }
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .select("ts", "event_type", "value")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+    run_windowed_job(spark, events_dir, out_a, str(tmp_path / "ckpt_a"))
+    appended = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_a).collect()
+    }
+    # every append-emitted window agrees with batch; windows past the
+    # final watermark (at least the stream's last hour) are withheld
+    assert set(appended) < set(want)
+    assert all(appended[k] == want[k] for k in appended)
+    max_start = max(ws for ws, _ in want)
+    assert all(ws < max_start for ws, _ in appended)
