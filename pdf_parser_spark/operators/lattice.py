@@ -297,15 +297,16 @@ def detect_tables(nruns: List[dict], nsegs: List[Seg],
         if len(jx) <= 4:  # camelot: regions with <=4 joints are not tables
             continue
         x0, y0, x1, y1 = boxes[i]
-        # NOTE on the residual golden delta (pages 2/6): camelot's
-        # region bbox comes from contours of its DILATED raster mask,
-        # which on the art pages lands just past the joint-cluster
-        # tolerance and contributes one skinny EMPTY last row/column
-        # ((7,4) vs our (6,3)); on fully-ruled pages the same offset
-        # stays inside the tolerance and merges.  The offset ranges
-        # overlap in vector space, so reproducing it would need the
-        # actual raster — documented as camelot-raster behavior, not
-        # emulated (tests/test_tables_golden.py).
+        # NOTE on the residual golden delta (pages 2/6, (7,4) vs our
+        # (6,3)): the bbox-dilation hypothesis is measured FALSE —
+        # the emitted region's joint clusters and bbox are identical
+        # across pages 1/2/6 (every edge-to-joint delta 1.00-1.12 pt)
+        # while the golden shapes differ, so no dilation margin can
+        # separate them.  The raster's extra bounds are decided by
+        # image pixel content (which art rules the product images'
+        # alpha/edge pixels cover), invisible without decoding the
+        # images — documented camelot-raster behavior, not emulated
+        # (tests/test_tables_golden.py::test_dilation_margin_falsified).
         col_bounds = _cluster(jx + [x0, x1])
         row_bounds = _cluster(jy + [y0, y1])
         if len(row_bounds) < 2 or len(col_bounds) < 2:

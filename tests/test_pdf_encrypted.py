@@ -381,3 +381,97 @@ def test_aes256_wrong_password_contained():
     r2 = extract_one(bytes(broken))
     assert r2["kind"] == "pdf"
     assert r2["error"] is not None or r2["raw_text"] == ""
+
+
+# ----------------------- independent cross-validation (ADVICE r2 #2)
+# The round-2 advice flagged that hash_2b/v5_file_key were validated
+# only against fixtures built with the SAME forward primitives. These
+# tests break the circle with the `cryptography` package (an
+# externally FIPS/Wycheproof-validated AES) plus a KDF loop
+# re-written in the test directly from ISO 32000-2 Algorithm 2.B —
+# sharing NO code with pdf/crypt.py. The one residual assumption both
+# share is the de-facto loop-termination reading (64 mandatory rounds,
+# then stop when E[-1] <= rounds-32) used identically by the open
+# PDF stacks; everything else (AES core, CBC chaining, K1 layout,
+# hash selection, truncation) is independently checked.
+
+
+def _spec_hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    digests = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    K = hashlib.sha256(password + salt + udata).digest()
+    rounds, E = 0, b"\x00"
+    while rounds < 64 or E[-1] > rounds - 32:
+        K1 = (password + K + udata) * 64
+        c = Cipher(algorithms.AES(K[:16]), modes.CBC(K[16:32])).encryptor()
+        E = c.update(K1) + c.finalize()
+        K = digests[sum(E[:16]) % 3](E).digest()
+        rounds += 1
+    return K[:32]
+
+
+def test_hash_2b_matches_independent_spec_implementation():
+    from pdf_parser_spark.pdf.crypt import hash_2b
+
+    cases = [
+        (b"", b"\x00" * 8, b""),
+        (b"", b"valsalt1", b""),
+        (b"user pw", b"saltsalt", b""),
+        # owner-branch shape: 48-byte /U as the udata suffix
+        (b"owner", b"osalt_01", bytes(range(48))),
+        # long password (spec truncates at 127 bytes upstream; the
+        # KDF itself must take what it is given)
+        (b"x" * 127, b"abcdefgh", b""),
+        # adversarial: bytes that exercise each digest branch early
+        (b"\xff" * 16, b"\xff" * 8, b""),
+    ]
+    for pwd, salt, udata in cases:
+        assert hash_2b(pwd, salt, udata) == _spec_hash_2b(pwd, salt, udata), (
+            pwd, salt, udata,
+        )
+
+
+def test_aes_cbc_matches_cryptography_package():
+    import os as _os
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from pdf_parser_spark.pdf.crypt import (
+        aes_cbc_decrypt_raw, aes_cbc_encrypt_raw,
+    )
+
+    rng = _os.urandom
+    for key_len in (16, 24, 32):
+        for n_blocks in (1, 3):
+            key, iv = rng(key_len), rng(16)
+            pt = rng(16 * n_blocks)
+            ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+            want = ref.update(pt) + ref.finalize()
+            assert aes_cbc_encrypt_raw(key, iv, pt) == want
+            assert aes_cbc_decrypt_raw(key, iv, want) == pt
+
+
+def test_v5_file_key_unwraps_foreign_fixture():
+    """/U //UE built ONLY from the independent primitives (spec KDF +
+    cryptography AES) must validate and unwrap through our
+    v5_file_key — the direction a real Acrobat file exercises."""
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from pdf_parser_spark.pdf.crypt import v5_file_key
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"VSALT_01", b"KSALT_01"
+    u_entry = _spec_hash_2b(b"", vsalt) + vsalt + ksalt
+    enc = Cipher(
+        algorithms.AES(_spec_hash_2b(b"", ksalt)), modes.CBC(b"\x00" * 16)
+    ).encryptor()
+    ue_entry = enc.update(file_key) + enc.finalize()
+    assert v5_file_key(u_entry, ue_entry, r=6) == file_key
+    assert v5_file_key(u_entry, ue_entry, r=6, password=b"wrong") is None
