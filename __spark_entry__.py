@@ -260,6 +260,29 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+def _q_lsh_index_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via the MATERIALIZED dedup index
+    (jobs/dedup_index.py): build the (doc_id, band_key) relation to a
+    per-run tmp path, load it back, fan out pairs from the index alone
+    (no signature recomputation — plan-audited in
+    tests/test_dedup_index.py). Must equal the inline LSH candidates,
+    so the oracle is the SAME DuckDB twin."""
+    import os
+
+    from pdf_parser_spark.jobs.dedup_index import (
+        build_dedup_index, load_dedup_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    path = "/tmp/lsh_index_{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")), os.getpid()
+    )
+    build_dedup_index(d, path)
+    return dedup.minhash_lsh_candidates(
+        d, index=load_dedup_index(spark, path)
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: LSH candidate pairs → connected components
     → (doc_id, cluster_id) canonical groups."""
@@ -1044,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dups,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "lsh_index_candidates": _q_lsh_index_candidates,
         "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "simhash_neardup_pairs": _q_simhash_neardups,
@@ -1314,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
             f"{dedup.minhash_signature_sql('text')}, ',') AS sig FROM documents"
         ),
         "minhash_lsh_candidates": _minhash_lsh_sql(),
+        # the index path must agree with the inline path exactly —
+        # same oracle by construction
+        "lsh_index_candidates": _minhash_lsh_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(_minhash_lsh_sql()),
         "simhash": dedup.simhash32_sql(),
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs_sql(

@@ -136,6 +136,10 @@ def main() -> None:
     timed("ann_lsh_topk", lambda: entry._q_ann_topk(spark, sf_dir).collect())
     timed("ivf_topk", lambda: entry._q_ivf_topk(spark, sf_dir).collect())
     timed(
+        "ivf_refined_topk",
+        lambda: entry._q_ivf_refined_topk(spark, sf_dir).collect(),
+    )
+    timed(
         "emb_neardup",
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),
     )

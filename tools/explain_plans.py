@@ -59,9 +59,11 @@ def main() -> None:
     add(
         "Flagship extraction (pages → documents)",
         extract_documents(entry._html_pages(docs)),
-        "One salted-repartition Exchange feeds ONE fused Python stage "
-        "(extract+clean+chunk) — map-only after the skew-defusing "
-        "shuffle; nothing else materializes.",
+        "Default path (size-tiered): two pruned scans split by payload "
+        "length, one url-hash Exchange per tier, and a narrow Union "
+        "feeding ONE fused Python stage (extract+clean+chunk) — "
+        "map-only after the skew-defusing shuffles; nothing else "
+        "materializes.",
     )
 
     add(
@@ -78,6 +80,33 @@ def main() -> None:
         "Signature is map-side; ONE Exchange on 16-byte band keys into "
         "a groupBy (partial_count first), pair fan-out native, then "
         "distinct. Full texts never shuffle.",
+    )
+
+    add(
+        "Salted-only extraction (heavy_bytes=None contrast)",
+        extract_documents(entry._html_pages(docs), heavy_bytes=None),
+        "The pre-round-3 shape for contrast with the tiered default "
+        "above: ONE url-hash Exchange, no tier split. Fine when the "
+        "payload size distribution is tight; the tiered default is "
+        "what defuses giant-PDF stragglers (on a lakehouse table the "
+        "tier predicate pushes to file stats via size_col, so "
+        "neither branch rescans payloads).",
+    )
+
+    ivf_index = __import__(
+        "pdf_parser_spark.operators.similarity", fromlist=["similarity"]
+    ).ivf_build(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), lloyd_iters=0
+    )
+    add(
+        "IVF search over a prebuilt index",
+        __import__(
+            "pdf_parser_spark.operators.similarity", fromlist=["similarity"]
+        ).ivf_search(ivf_index, [1.0] * 64, k=10),
+        "The assignment table is built ONCE (ivf_build, persisted "
+        "InMemoryTableScan here; a written cell-partitioned table at "
+        "100 TB) — search is a probe-cell filter + map-only scoring + "
+        "TakeOrderedAndProject, no join, no shuffle, no rebuild.",
     )
 
     add(

@@ -57,19 +57,63 @@ def materialize(sf_dir: str) -> None:
     spark.stop()
 
 
-def run(cpus: int) -> dict:
+#: logical CPUs pinned per executor slot (taskset): a mapInPandas task
+#: keeps ~2 threads busy (JVM Arrow feeder + Python worker) and the
+#: JVM carries GC/IO threads besides, so 3 CPUs per slot gives both
+#: levels the SAME per-slot budget with the same headroom factor —
+#: local[2] -> CPUs 0-5, local[8] -> CPUs 0-23. Pinning (VERDICT r2
+#: #4) stops the scheduler from spreading either run across the whole
+#: box, so ambient co-tenant bursts perturb both halves of a pair
+#: proportionally instead of whichever run happened to be widest.
+CPUS_PER_SLOT = 3
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def wait_quiet(threshold: float = 2.0, max_wait_sec: int = 900) -> float:
+    """Gate each measurement on a quiet ambient window: co-tenant load
+    on this box reaches bursts that double wall time, and neither
+    interleaving nor CPU pinning removes a burst that lands mid-run.
+    Waits (up to max_wait_sec) until the 1-min load average drops
+    below `threshold`, then returns the load at release — recorded
+    with the measurement so loaded samples are identifiable."""
+    import time as _t
+
+    waited = 0
+    while waited < max_wait_sec:
+        load = _loadavg1()
+        if load < threshold:
+            return load
+        print(f"  ambient load {load:.1f} >= {threshold}; waiting ...",
+              flush=True)
+        _t.sleep(30)
+        waited += 30
+    return _loadavg1()
+
+
+def run(cpus: int, pin: bool = True) -> dict:
+    load0 = wait_quiet()
     env = dict(os.environ)
     # generous heap: the timed stage moves ~GBs of Arrow/shuffle
     # buffers through one local JVM; an undersized heap measures GC,
     # not the engine (real clusters size executor memory accordingly)
     env.setdefault("SPARK_DRIVER_MEM", "32g")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+           str(cpus), PAGES]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{CPUS_PER_SLOT * cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
-         str(cpus), PAGES],
-        capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    rec["pinned"] = pin
+    rec["load_before"] = round(load0, 2)
+    rec["load_after"] = round(_loadavg1(), 2)
+    return rec
 
 
 def main() -> None:
@@ -101,7 +145,8 @@ def main() -> None:
         except Exception:
             history = []
     if not os.environ.get("SCALING_REPORT_ONLY"):
-        for trial in range(3):
+        n_trials = int(os.environ.get("SCALING_TRIALS", "3"))
+        for trial in range(n_trials):
             print(f"trial {trial + 1}: local[{lo}] ...", flush=True)
             a = run(lo)
             print(json.dumps(a))
@@ -131,6 +176,15 @@ def main() -> None:
     ]
     effs = sorted(ratios)
     med = effs[len(effs) // 2]
+    q1 = effs[len(effs) // 4]
+    q3 = effs[(3 * len(effs)) // 4]
+    n_below = sum(1 for e in effs if e < 0.8)
+    pinned_ratios = sorted(
+        r for (a, b), r in zip(pairs, ratios)
+        if a.get("pinned") and b.get("pinned")
+    )
+    pin_med = (pinned_ratios[len(pinned_ratios) // 2]
+               if pinned_ratios else None)
 
     # Supporting estimators alongside the MEDIAN headline:
     # - min-wall-per-level: each level's best throughput across all
@@ -175,16 +229,24 @@ so ambient bursts degrade it alone and read as false scaling loss
 headroom). Partition count (64) is IDENTICAL at both levels — only
 executor slots change, as on a real cluster. Config: Spark 4.1.2,
 AQE on (coalesce + skew join), `arrow.maxRecordsPerBatch=256`,
-shuffle partitions = max(cpus, 8), salted repartition by
-xxhash64(url), mapInPandas extraction (from-scratch PDF parser +
-boilerplate stripper).
+shuffle partitions = max(cpus, 8), size-tiered salted repartition
+(xxhash64(url) within tiers; payloads >= 4 MiB routed to a
+mostly-empty heavy tier — none in this corpus, so the tier split
+costs only the second pruned scan), mapInPandas extraction
+(from-scratch PDF parser + boilerplate stripper).
 
-**Headline: per-pair MEDIAN efficiency {med:.2f}** over {len(pairs)}
-interleaved trial pairs (target >= 0.8 per BASELINE.json
-`north_rule`). Full per-pair ratio distribution: [{effs_s}] —
-run-to-run wall variance from ambient co-tenant load reaches 2x and
-hits whichever run it lands on, which is why single-pair ratios
-spread in both directions.
+**Headline: per-pair MEDIAN efficiency {med:.2f}** (IQR
+[{q1:.2f}, {q3:.2f}]) over {len(pairs)} interleaved trial pairs
+(target >= 0.8 per BASELINE.json `north_rule`); {n_below}/{len(pairs)}
+pairs fall below 0.8. CPU-PINNED pairs (taskset, {CPUS_PER_SLOT}
+logical CPUs per executor slot at both levels, so ambient load
+perturbs a pair proportionally instead of hitting whichever run is
+widest): {len(pinned_ratios)} pairs, median
+{pin_med if pin_med is None else format(pin_med, ".2f")}, distribution
+[{", ".join(f"{e:.2f}" for e in pinned_ratios)}]. Full per-pair ratio
+distribution (all pairs): [{effs_s}] — run-to-run wall variance from
+ambient co-tenant load reaches 2x and hits whichever run it lands on,
+which is why single-pair ratios spread in both directions.
 
 Supporting estimators:
 
@@ -214,6 +276,24 @@ and nothing in the plan depends on total row count — the same plan at
 
 See BENCH_r*.json (driver-recorded) for the per-operator suite at
 sf0.1; bench.py prints the JSON line.
+
+## ANN quality: IVF recall vs brute force (tools/ivf_recall.py)
+
+Measured at sf0.1 (2,000 vectors, 64-dim synthetic embeddings),
+5 corpus-member queries, nprobe 2 of 8 cells (25% scan fraction):
+
+| codebook | recall@20 |
+|---|---|
+| md5-seeded (lloyd_iters=0, the oracle-mirrored path) | 0.460 |
+| Lloyd-refined (lloyd_iters=2, ivf_build default path) | 0.480 |
+
+Both beat the 0.25 a structure-free partition would give at this
+scan fraction; the modest refined-vs-seeded gap is expected on
+synthetic near-uniform embeddings (no cluster structure for k-means
+to find) — on real embedding corpora the refined codebook is the one
+that tracks density. Both paths return the true top hit (the query's
+own vector) and hash-match their DuckDB twins exactly
+(`ivf_topk`, `ivf_refined_topk` in CORRECTNESS).
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
