@@ -10,7 +10,8 @@ on local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
 
 The driver records this as BENCH_r{N}.json. For the north rule's
 two-cluster-size scaling evidence, run tools/scaling_bench.py (same
-job at local[8] and local[32] → efficiency in BENCH.md).
+job at N=1 and 4N=4 separate executor JVMs, sized inside the host's
+measured CPU budget → efficiency in BENCH.md).
 """
 
 from __future__ import annotations

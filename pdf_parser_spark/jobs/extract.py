@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 
 from ..functions.chunk import make_chunk_udf
 from ..functions.clean import clean_text_col
+from ..sources import append_table, is_path_ref, read_table, table_exists
 
 #: columns produced by the extraction mapInPandas pass (pre clean/chunk)
 EXTRACT_SCHEMA = StructType([
@@ -371,7 +372,9 @@ def migrate_lineage(spark: SparkSession, lineage_path: str) -> None:
     footers would leave a mixed-schema directory where plain reads see
     whichever footer Spark samples. Detect the old column and rewrite
     the directory once (tiny table — ≤ n_buckets rows per run)."""
-    if not os.path.exists(lineage_path):
+    if not is_path_ref(lineage_path) or not os.path.exists(lineage_path):
+        # catalog branch: Iceberg handles column renames as native
+        # schema evolution; the rewrite below is parquet-dir-only
         return
     try:
         lin = spark.read.option("mergeSchema", "true").parquet(lineage_path)
@@ -397,10 +400,10 @@ def migrate_lineage(spark: SparkSession, lineage_path: str) -> None:
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> Optional[DataFrame]:
-    if not os.path.exists(lineage_path):
+    if not table_exists(spark, lineage_path):
         return None
     try:
-        lin = spark.read.parquet(lineage_path)
+        lin = read_table(spark, lineage_path)
         return lin.filter(F.col("status") == "ok").select("url_bucket").distinct()
     except Exception:
         return None
@@ -429,14 +432,27 @@ def run_extract_job(
     never re-scanned and no extra count() job runs (doc totals derive
     from the ≤ n_buckets lineage rows). Lineage rows APPEND per run,
     so a resume run only writes its own buckets' rows.
+
+    `pages_path` / `out_dir` are table REFS (sources/catalog.py): a
+    filesystem path runs the parquet branch (tests, sandbox); a
+    catalog identifier — e.g. pages_path="crawl.web.pages",
+    out_dir="crawl.web" — reads/writes Iceberg tables
+    (`crawl.web.documents`, `crawl.web.lineage`) through the identical
+    DataFrame plan, which is the north rule's production shape
+    (lineage appends become atomic Iceberg snapshot commits).
     """
     from pyspark import StorageLevel
 
     t0 = time.time()
-    pages = spark.read.parquet(pages_path).withColumn(
+    pages = read_table(spark, pages_path).withColumn(
         "url_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
-    lineage_path = os.path.join(out_dir, "lineage.parquet")
+    if is_path_ref(out_dir):
+        docs_ref = os.path.join(out_dir, "documents.parquet")
+        lineage_path = os.path.join(out_dir, "lineage.parquet")
+    else:
+        docs_ref = f"{out_dir}.documents"
+        lineage_path = f"{out_dir}.lineage"
     migrate_lineage(spark, lineage_path)  # pre-rename wall_sec dirs
     done = completed_buckets(spark, lineage_path)
     if done is not None:
@@ -447,8 +463,7 @@ def run_extract_job(
     docs = extract_documents(pages, partitions=partitions).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    docs_path = os.path.join(out_dir, "documents.parquet")
-    docs.write.mode("append").parquet(docs_path)  # the ONE extraction job
+    append_table(docs, docs_ref)  # the ONE extraction job
 
     # per-bucket lineage from the cached plan — tiny result, collected
     bucket_stats = (
@@ -475,12 +490,12 @@ def run_extract_job(
         ],
         LINEAGE_SCHEMA,
     )
-    lineage_rows.write.mode("append").parquet(lineage_path)
+    append_table(lineage_rows, lineage_path)
     n_run = sum(r.n_docs for r in bucket_stats)
     # cumulative total from the (tiny) lineage table, NOT a rescan of
     # the documents output
     n_total = (
-        spark.read.parquet(lineage_path).agg(F.sum("n_docs")).first()[0] or 0
+        read_table(spark, lineage_path).agg(F.sum("n_docs")).first()[0] or 0
     )
     return {"run_id": run_id, "n_docs": int(n_total), "n_docs_run": int(n_run),
             "wall_sec": wall,
