@@ -60,3 +60,41 @@ def test_run_extract_job_takes_refs(spark, tmp_path):
     out = str(tmp_path / "out")
     res = run_extract_job(spark, src, out, run_id="seam1", n_buckets=8)
     assert res["n_docs"] == 24
+
+
+def test_run_extract_job_catalog_branch_with_resume(spark, tmp_path):
+    """Full job against CATALOG refs: documents/lineage land as managed
+    tables, and a second run resumes through the catalog lineage table
+    (anti-join on completed buckets) writing zero new docs."""
+    import shutil
+
+    from pdf_parser_spark.datagen.pages import PAGES_SCHEMA, generate_pages
+    from pdf_parser_spark.jobs.extract import run_extract_job
+    from pdf_parser_spark.sources import read_table
+
+    db = "crawl_seam_test"
+    spark.sql(f"DROP TABLE IF EXISTS {db}.documents")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.lineage")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)  # stale location
+    spark.sql(f"CREATE DATABASE {db}")
+
+    pages = generate_pages(spark, 16, seed=11, include_fixtures=False)
+    src = str(tmp_path / "pages.parquet")
+    pages.select(*[f.name for f in PAGES_SCHEMA.fields]).write.parquet(src)
+
+    res1 = run_extract_job(spark, src, db, run_id="cat1", n_buckets=4)
+    assert res1["n_docs"] == 16 and res1["n_docs_run"] == 16
+    assert read_table(spark, f"{db}.documents").count() == 16
+    lin = read_table(spark, f"{db}.lineage")
+    assert {r.status for r in lin.collect()} == {"ok"}
+
+    # resume: all buckets complete -> nothing re-extracted, totals hold
+    res2 = run_extract_job(spark, src, db, run_id="cat2", n_buckets=4)
+    assert res2["n_docs_run"] == 0 and res2["n_docs"] == 16
+    assert read_table(spark, f"{db}.documents").count() == 16
+
+    spark.sql(f"DROP TABLE {db}.documents")
+    spark.sql(f"DROP TABLE {db}.lineage")
+    spark.sql(f"DROP DATABASE {db}")
