@@ -1,0 +1,127 @@
+"""Small-file compaction for the documents table.
+
+The reference is a single-process app (no counterpart: its exports are
+one file per request, `src/csv_exporter.py`), but at the north rule's
+scale the documents table accretes small files structurally: every
+resume-batch `run_extract_job` APPENDS its own parquet files, and the
+streaming variant writes a file set per micro-batch. A 10^12-row table
+fed that way degrades every downstream scan — task-per-tiny-file
+scheduling, footer-read amplification, and no row-group locality for
+the dedup/textstats passes that follow extraction.
+
+This job rewrites a table into ~`target_file_mb` files. It is the
+parquet-path sibling of Iceberg's `rewrite_data_files` maintenance
+procedure — on a real lakehouse deployment you call that (it compacts
+inside snapshot isolation, no rename dance needed); the catalog branch
+here stages into a side table and swaps via ALTER TABLE RENAME, the
+strongest atomicity the session catalog offers.
+
+Plan shape: ONE round-robin repartition to the computed file count
+(`repartition(n)` without keys — no hash skew, perfectly even output
+files), optional `sortWithinPartitions` so downstream predicate scans
+get row-group min/max pruning on the sort keys (e.g. `lang`,
+`quality`); no shuffle key means the exchange is a streaming
+round-robin, the cheapest shuffle Spark has. Nothing in the plan
+depends on total row count — at 100 TB only `n_files` grows.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import is_path_ref, read_table
+
+#: parquet target: big enough that footer/stripe overhead is noise and
+#: a scan task does real work, small enough to split across executors
+DEFAULT_TARGET_MB = 256
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, fn))
+    return n, total
+
+
+def _table_location(spark: SparkSession, ref: str) -> Optional[str]:
+    """Filesystem location of a catalog table, if it is file-backed."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {ref}").collect():
+        if (row.col_name or "").strip() == "Location":
+            loc = row.data_type.strip()
+            return loc.removeprefix("file:") if loc.startswith("file:") else loc
+    return None
+
+
+def plan_file_count(total_bytes: int, target_file_mb: int) -> int:
+    """ceil(bytes / target) with a floor of 1. Parquet compresses the
+    in-memory bytes further, so the realized files land under target —
+    the safe side (never produces a file Spark can't split)."""
+    return max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+
+def compact_table(
+    spark: SparkSession,
+    ref: str,
+    target_file_mb: int = DEFAULT_TARGET_MB,
+    sort_within: Optional[Sequence[str]] = None,
+    n_files: Optional[int] = None,
+) -> dict:
+    """Rewrite `ref` (path or catalog identifier) into ~target-size
+    files; returns {"files_before", "files_after", "bytes", "n_files"}.
+
+    Path branch writes to a sibling `<dir>.compact-tmp` then swaps
+    directories (old data kept at `<dir>.compact-bak` until the swap
+    completes, then removed — a crash mid-swap leaves a recoverable
+    state, never a half table). Catalog branch stages into
+    `<name>__compact_staging` and swaps with ALTER TABLE RENAME.
+    """
+    df = read_table(spark, ref)
+    if is_path_ref(ref):
+        files_before, total_bytes = _dir_stats(ref)
+        location = ref
+    else:
+        location = _table_location(spark, ref)
+        files_before, total_bytes = (
+            _dir_stats(location) if location and os.path.isdir(location)
+            else (0, 0)
+        )
+    n = n_files or plan_file_count(total_bytes, target_file_mb)
+
+    out = df.repartition(n)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+
+    if is_path_ref(ref):
+        tmp, bak = ref + ".compact-tmp", ref + ".compact-bak"
+        out.write.mode("overwrite").parquet(tmp)
+        os.rename(ref, bak)
+        os.rename(tmp, ref)
+        import shutil
+
+        shutil.rmtree(bak)
+        files_after, _ = _dir_stats(ref)
+    else:
+        staging = f"{ref}__compact_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        out.write.saveAsTable(staging)
+        spark.sql(f"DROP TABLE {ref}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {ref}")
+        loc = _table_location(spark, ref)
+        files_after = (
+            _dir_stats(loc)[0] if loc and os.path.isdir(loc) else n
+        )
+
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "n_files": n,
+    }

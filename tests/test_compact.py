@@ -1,0 +1,70 @@
+"""Small-file compaction (jobs/compact.py): resume appends and
+streaming micro-batches fragment the documents table; compaction
+rewrites it into target-size files with data unchanged."""
+
+import shutil
+
+from pdf_parser_spark.jobs.compact import compact_table, plan_file_count
+from pdf_parser_spark.sources import read_table
+
+
+def test_plan_file_count():
+    mb = 1024 * 1024
+    assert plan_file_count(0, 256) == 1
+    assert plan_file_count(1, 256) == 1
+    assert plan_file_count(256 * mb, 256) == 1
+    assert plan_file_count(256 * mb + 1, 256) == 2
+    assert plan_file_count(10_000 * mb, 256) == 40
+
+
+def test_compact_path_table(spark, tmp_path):
+    ref = str(tmp_path / "docs.parquet")
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    # simulate 5 resume-batch appends -> many small files
+    for _ in range(5):
+        df.repartition(8).write.mode("append").parquet(ref)
+    before = sorted(r.doc_id for r in read_table(spark, ref).collect())
+
+    stats = compact_table(spark, ref, n_files=2)
+
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 2
+    after = sorted(r.doc_id for r in read_table(spark, ref).collect())
+    assert after == before  # byte-for-byte same rows
+    assert not (tmp_path / "docs.parquet.compact-tmp").exists()
+    assert not (tmp_path / "docs.parquet.compact-bak").exists()
+
+
+def test_compact_path_table_sorted_within(spark, tmp_path):
+    ref = str(tmp_path / "docs.parquet")
+    df = spark.range(500).selectExpr(
+        "id as doc_id", "cast(id % 7 as string) as lang"
+    )
+    df.repartition(16).write.mode("append").parquet(ref)
+
+    compact_table(spark, ref, n_files=1, sort_within=["lang", "doc_id"])
+
+    rows = read_table(spark, ref).collect()  # single file: file order
+    keys = [(r.lang, r.doc_id) for r in rows]
+    assert keys == sorted(keys)  # row-group min/max pruning order
+    assert len(rows) == 500
+
+
+def test_compact_catalog_table(spark):
+    ref = "compact_seam_test"
+    spark.sql(f"DROP TABLE IF EXISTS {ref}")
+    spark.sql(f"DROP TABLE IF EXISTS {ref}__compact_staging")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{ref}", ignore_errors=True)
+    shutil.rmtree(f"{wh}/{ref}__compact_staging", ignore_errors=True)
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    df.repartition(12).write.saveAsTable(ref)
+
+    stats = compact_table(spark, ref, n_files=1)
+
+    assert stats["files_before"] == 12
+    assert stats["files_after"] == 1
+    assert read_table(spark, ref).count() == 1000
+    assert not spark.catalog.tableExists(f"{ref}__compact_staging")
+    spark.sql(f"DROP TABLE {ref}")

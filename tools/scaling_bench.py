@@ -432,6 +432,22 @@ and nothing in the plan depends on total row count — the same plan at
 See BENCH_r*.json (driver-recorded) for the per-operator suite at
 sf0.1; bench.py prints the JSON line.
 
+## Per-operator bench methodology change (r2 -> r3)
+
+bench.py now reports the MEDIAN of 3 trials per query with
+operator-internal caches RELEASED between trials (round-2 advice
+items: single-trial numbers can't be separated from co-tenant noise;
+persisted DataFrames accumulated for the app lifetime). Two knock-on
+effects when comparing BENCH_r3 to BENCH_r2, neither a plan
+regression: (1) every trial now pays its FULL cold plan — in r2's
+single-trial run, `dedup_clusters` rode the persisted signature/band
+keys left behind by the `minhash_lsh` query that ran before it, so
+its r2 number (~5 s) understated the standalone cost (~11 s; the
+standalone plan is unchanged and still converges in O(log d) rounds);
+(2) the r2 "regressions" the verdict asked to root-cause (simhash
++18%, extract_tables +5%) disappear under medians — both measure at
+or below their r2 values — confirming they were single-trial noise.
+
 ## ANN quality: IVF recall vs brute force (tools/ivf_recall.py)
 
 Measured at sf0.1 (2,000 vectors, 64-dim synthetic embeddings),
