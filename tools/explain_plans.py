@@ -109,6 +109,20 @@ def main() -> None:
         "TakeOrderedAndProject, no join, no shuffle, no rebuild.",
     )
 
+    from pdf_parser_spark.jobs.compact import plan_file_count
+
+    add(
+        "Small-file compaction rewrite (jobs/compact.py)",
+        docs.repartition(
+            plan_file_count(64 * 1024 * 1024, 256)
+        ).sortWithinPartitions("lang"),
+        "ONE key-less round-robin Exchange to the computed file count "
+        "(perfectly even output files, no hash skew) + an in-partition "
+        "sort so downstream scans get row-group min/max pruning on the "
+        "sort key. Nothing in the plan depends on total row count — at "
+        "100 TB only the partition count grows.",
+    )
+
     add(
         "Broadcast dim join + top-k",
         entry._q_top_customers(spark, SF),
