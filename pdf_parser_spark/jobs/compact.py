@@ -32,6 +32,7 @@ import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import is_path_ref, read_table
 
@@ -73,6 +74,7 @@ def compact_table(
     target_file_mb: int = DEFAULT_TARGET_MB,
     sort_within: Optional[Sequence[str]] = None,
     n_files: Optional[int] = None,
+    partition_by: Optional[Sequence[str]] = None,
 ) -> dict:
     """Rewrite `ref` (path or catalog identifier) into ~target-size
     files; returns {"files_before", "files_after", "bytes", "n_files"}.
@@ -82,6 +84,18 @@ def compact_table(
     completes, then removed — a crash mid-swap leaves a recoverable
     state, never a half table). Catalog branch stages into
     `<name>__compact_staging` and swaps with ALTER TABLE RENAME.
+
+    `partition_by` preserves a Hive/Iceberg-style partition layout
+    (a crawl table is typically partitioned by fetch date): rows are
+    hash-clustered on the partition columns BEFORE the partitionBy
+    write, so each task holds whole partition values and each value
+    comes out as ONE consolidated file — without the clustering,
+    partitionBy writes (tasks × values) files, the classic small-file
+    bomb that can leave the table MORE fragmented than it started. A
+    single partition value larger than one task's worth of memory
+    would need an extra salt column (split files within the value);
+    out of scope here — Iceberg's rewrite_data_files handles that case
+    with its own bin-packing.
     """
     df = read_table(spark, ref)
     if is_path_ref(ref):
@@ -95,13 +109,19 @@ def compact_table(
         )
     n = n_files or plan_file_count(total_bytes, target_file_mb)
 
-    out = df.repartition(n)
+    if partition_by:
+        out = df.repartition(n, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
 
     if is_path_ref(ref):
         tmp, bak = ref + ".compact-tmp", ref + ".compact-bak"
-        out.write.mode("overwrite").parquet(tmp)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         os.rename(ref, bak)
         os.rename(tmp, ref)
         import shutil
@@ -111,7 +131,10 @@ def compact_table(
     else:
         staging = f"{ref}__compact_staging"
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        out.write.saveAsTable(staging)
+        writer = out.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(staging)
         spark.sql(f"DROP TABLE {ref}")
         spark.sql(f"ALTER TABLE {staging} RENAME TO {ref}")
         loc = _table_location(spark, ref)

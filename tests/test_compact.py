@@ -50,6 +50,39 @@ def test_compact_path_table_sorted_within(spark, tmp_path):
     assert len(rows) == 500
 
 
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    ref = str(tmp_path / "docs.parquet")
+    df = spark.range(600).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as crawl_date"
+    )
+    # 6 fragmented appends x 8 tasks x 3 values -> many files/partition
+    for _ in range(6):
+        df.repartition(8).write.mode("append") \
+            .partitionBy("crawl_date").parquet(ref)
+    before = sorted(
+        (r.crawl_date, r.doc_id)
+        for r in read_table(spark, ref).collect()
+    )
+
+    stats = compact_table(spark, ref, n_files=8,
+                          partition_by=["crawl_date"])
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(ref) if d.startswith("crawl_date="))
+    assert dirs == ["crawl_date=0", "crawl_date=1", "crawl_date=2"]
+    for d in dirs:  # hash-clustered: ONE consolidated file per value
+        files = [f for f in os.listdir(os.path.join(ref, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    after = sorted(
+        (r.crawl_date, r.doc_id)
+        for r in read_table(spark, ref).collect()
+    )
+    assert after == before
+    assert stats["files_after"] == 3 < stats["files_before"]
+
+
 def test_compact_catalog_table(spark):
     ref = "compact_seam_test"
     spark.sql(f"DROP TABLE IF EXISTS {ref}")
