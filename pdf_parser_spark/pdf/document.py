@@ -335,6 +335,15 @@ class PdfDocument:
                 d = o.dict if isinstance(o, StreamObject) else o
                 if isinstance(d, dict) and d.get("Type") == "Page":
                     out.append(d)
+            if not out:
+                # nothing recoverable: neither a catalog-rooted page
+                # tree nor any /Type /Page object survived salvage.
+                # Truncated/corrupt crawl payloads must surface in the
+                # job's `error` column (reference parity: pypdf raises
+                # PdfReadError on such files, src/pdf_parser.py catches
+                # it per document) — a silent zero-page "success" would
+                # miscount data quality at crawl scale.
+                raise PdfError("no pages recovered (truncated or corrupt PDF)")
             return out
         seen: set = set()
 

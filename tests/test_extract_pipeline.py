@@ -90,6 +90,39 @@ def test_fused_and_unfused_paths_agree(spark, pages_dir):
         assert a[url].num_chunks == b[url].num_chunks, url
 
 
+def test_degenerate_payloads_contained(spark):
+    """Garbage, empty, and truncated-PDF rows must not crash the job;
+    a truncated PDF with nothing recoverable must surface in `error`
+    (reference parity: pypdf raises PdfReadError on truncated files,
+    src/pdf_parser.py:60-75 records it per document) rather than
+    silently producing an empty zero-page document."""
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    with open("/root/reference/Snack_planogram_12_05_2025.pdf", "rb") as f:
+        snack = f.read()
+    probe = spark.createDataFrame(
+        [
+            ("u_garbage", b"\x00\xffgarbage bytes"),
+            ("u_empty", b""),
+            ("u_truncated", snack[:500]),
+            ("u_html", b"<html><body><p>"
+             + b"ten words of real content keeps this block classified "
+             b"as main text</p></body></html>"),
+        ],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in extract_documents(probe, partitions=2).collect()}
+    assert rows["u_empty"].kind == "empty" and rows["u_empty"].error is None
+    # garbage without %PDF magic routes to the HTML path, contained
+    assert rows["u_garbage"].kind == "html"
+    assert rows["u_garbage"].error is None
+    assert rows["u_truncated"].kind == "pdf"
+    assert rows["u_truncated"].error is not None
+    assert "no pages recovered" in rows["u_truncated"].error
+    assert rows["u_html"].error is None
+    assert "ten words of real content" in rows["u_html"].text
+
+
 def test_resume_job(spark, pages_dir, tmp_path):
     from pdf_parser_spark.jobs.extract import run_extract_job
 
