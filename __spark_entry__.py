@@ -38,6 +38,8 @@ from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
 from pdf_parser_spark.operators import multimodal as mm
+from pdf_parser_spark.operators import packing as pk
+from pdf_parser_spark.operators import sampling as smp
 from pdf_parser_spark.operators import similarity as sim
 
 # --------------------------------------------------------------- loaders
@@ -1054,6 +1056,82 @@ def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- sampling / packing / PII
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample (map-only, reproducible across
+    runs/cluster sizes — operators/sampling.py)."""
+    return smp.hash_sample(_docs(spark, sf_dir), 0.25, salt="r3").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language top-25 by hash order WITHOUT sorting whole
+    strata (broadcast-threshold prefilter + fallback)."""
+    return smp.stratified_sample(
+        _docs(spark, sf_dir), 25, key_col="lang", salt="r3"
+    ).select("doc_id", "lang")
+
+
+def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: block bin assignment at 256-token capacity,
+    16 parallel hash-groups (operators/packing.py)."""
+    return pk.pack_blocks(_docs(spark, sf_dir), capacity=256, n_groups=16)
+
+
+#: deterministic PII injection so the counters exercise non-zero paths
+#: on the synthetic corpus — the SAME injection runs on both engines.
+_PII_INJ_SPARK = None  # built lazily below
+
+
+def _pii_text(doc_id, text):  # Column-side injected text
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" mail user"), doc_id.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" from 10.0.0.1 ")).otherwise(F.lit("")),
+        F.when(doc_id % 7 == 0, F.lit(" ssn 123-45-6789 ")).otherwise(F.lit("")),
+    )
+
+
+_PII_INJ_SQL = (
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' mail user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1 ' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789 ' ELSE '' END)"
+)
+
+
+def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counters + redacted length (functions/textstats.py
+    pii_counts/pii_redact) over deterministically injected text."""
+    docs = _docs(spark, sf_dir)
+    t = _pii_text(F.col("doc_id"), F.col("text"))
+    c = ts.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        c["emails"].alias("emails"),
+        c["ipv4s"].alias("ipv4s"),
+        c["ssn_like"].alias("ssn_like"),
+        F.length(ts.pii_redact(t)).alias("redacted_len"),
+    )
+
+
+def _q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FILTER a pipeline ships: LSH candidates → connected
+    components → drop every member except the min-id keeper."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(docs)
+    return dedup.keep_canonical(
+        docs.select("doc_id", "lang", "n_chars"), pairs
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_docs": _q_extract_html,
@@ -1103,6 +1181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_image_files": _q_ocr_image_files,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "pack_blocks": _q_pack_blocks,
+        "pii_counts": _q_pii_counts,
+        "keep_canonical": _q_keep_canonical,
     }
 
 
@@ -1549,5 +1632,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey "
             "ORDER BY total_spend DESC, custkey ASC LIMIT 10"
+        ),
+        "hash_sample": smp.hash_sample_sql(
+            "documents", 0.25, salt="r3", columns="doc_id, lang, n_chars"
+        ),
+        "stratified_sample": smp.stratified_sample_sql(
+            "documents", 25, key_col="lang", salt="r3",
+            columns=["doc_id", "lang"],
+        ),
+        "pack_blocks": pk.pack_blocks_sql("documents", 256, 16),
+        "pii_counts": (
+            f"WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents) "
+            f"SELECT doc_id, "
+            f"{ts.pii_counts_sql('t')['emails']} AS emails, "
+            f"{ts.pii_counts_sql('t')['ipv4s']} AS ipv4s, "
+            f"{ts.pii_counts_sql('t')['ssn_like']} AS ssn_like, "
+            f"length({ts.pii_redact_sql('t')}) AS redacted_len FROM inj"
+        ),
+        "keep_canonical": dedup.keep_canonical_sql(
+            "documents", _minhash_lsh_sql(),
+            columns="doc_id, lang, n_chars",
         ),
     }

@@ -327,3 +327,50 @@ def quality_gate_sql(col: str) -> dict:
         f"WHEN {rep} > 0.2 THEN 'repetition' ELSE '' END"
     )
     return {"keep": f"({reason}) = ''", "reason": reason}
+
+
+# ---------------------------------------------------------------- PII
+
+#: PII detectors a training pipeline runs pre-release (C4 strips
+#: "dirty" documents; The Pile / Dolma count-and-redact). Patterns are
+#: restricted to constructs with IDENTICAL semantics in Java regex
+#: (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+#: word boundaries — no alternation whose leftmost-first (Java) vs
+#: leftmost-longest (RE2) resolution could diverge.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column) -> dict:
+    """{name: count column} of non-overlapping PII pattern matches.
+    Native regexp_extract_all — codegen, no UDF, no shuffle."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_counts_sql(col: str) -> dict:
+    return {
+        name: f"len(regexp_extract_all({col}, '{pat}'))"
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(col: Column, token: str = "<PII>") -> Column:
+    """Replace every PII match with `token` (the redaction sibling of
+    :func:`pii_counts`; chained native regexp_replace)."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_redact_sql(col: str, token: str = "<PII>") -> str:
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out

@@ -699,3 +699,43 @@ JOIN sizes sa ON sa.{id_col} = id_a
 JOIN sizes sb ON sb.{id_col} = id_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """
+
+
+# ----------------------------------------------------- canonical filter
+
+
+def keep_canonical(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The dedup FILTER step: drop every near-duplicate except its
+    cluster's canonical keeper (min doc id in the connected component,
+    the `dedup_clusters` label), keep all unpaired documents.
+
+    This is the operator a pipeline actually ships — candidates and
+    clusters are diagnostics; the corpus that proceeds to training is
+    `keep_canonical(docs, candidate_pairs)`.
+
+    Plan shape at 100 TB: `dedup_clusters` runs over ids only (texts
+    never enter); the drop-list (members whose label != own id) is a
+    further subset, and the final step is ONE anti-join of the full
+    documents table against that id-only list — shuffle carries just
+    the 8-byte keys on the small side, and AQE converts the anti-join
+    to broadcast whenever the drop-list fits (typical dup rates keep
+    it far below the corpus size).
+    """
+    labels = dedup_clusters(pairs)
+    drop = labels.where(F.col("cluster_id") != F.col(id_col)) \
+                 .select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
+def keep_canonical_sql(docs_table: str, pairs_sql: str,
+                       id_col: str = "doc_id",
+                       columns: str = "*") -> str:
+    """DuckDB twin: exact recursive-reachability clusters → anti-join."""
+    clusters = dedup_clusters_sql(pairs_sql)
+    return f"""
+SELECT {columns} FROM {docs_table}
+WHERE {id_col} NOT IN (
+  SELECT doc_id FROM ({clusters}) WHERE cluster_id != doc_id
+)
+"""

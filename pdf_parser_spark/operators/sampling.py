@@ -1,0 +1,189 @@
+"""Deterministic sampling operators for the training-data pipeline.
+
+The reference app is a per-request parser with no corpus operations;
+these operators cover the subsampling step every large-scale training
+pipeline needs between dedup and training: draw a reproducible fraction
+of the corpus (ablations, held-out splits) and enforce per-stratum
+quotas (e.g. per-language token budgets per the data-mixing literature).
+
+Both operators are DETERMINISTIC functions of the data — no RNG state,
+no Spark `sample()` (whose output depends on partitioning and seed
+plumbing) — so results are reproducible across runs, cluster sizes,
+and engines, and each has an exact DuckDB twin in `__spark_entry__`.
+
+The randomness source is the shared md5→int idiom used by the dedup
+tier (operators/dedup.py:121): the first 15 hex chars of
+md5(key || salt) as a bigint is a uniform draw from [0, 16^15), and
+both engines compute it bit-identically (Spark `conv`, DuckDB
+`'0x' || substring` cast). Comparisons stay in INTEGER space — the
+keep-threshold is precomputed as `int(rate * 16**15)` — so no float
+crosses an engine boundary.
+
+Scale notes (100 TB):
+- `hash_sample` is a map-only narrow filter: no shuffle, no state,
+  prunable columns reach the scan untouched.
+- `stratified_sample` takes exact per-key top-n by hash order WITHOUT
+  sorting whole strata: a broadcast per-key count computes an
+  oversampled hash threshold, the full table is filtered map-side to
+  ~oversample*n survivors per key, and only survivors enter the
+  rank window. A window partitioned by a skewed key would otherwise
+  sort that key's entire stratum in ONE task — at 10^12 rows with an
+  80% `en` stratum that is the job. Keys whose survivor count falls
+  short (hash fluctuation) fall back to their full stratum, so the
+  result is EXACTLY the true top-n per key, not an approximation —
+  the DuckDB twin is the plain window over the whole table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5-prefix draw space: 15 hex chars < 2^60, safely inside int64.
+HASH_SPACE = 16 ** 15
+
+
+def hash_draw(col: Column, salt: str = "") -> Column:
+    """Uniform bigint draw in [0, 16^15) — a pure function of
+    (value, salt), identical in DuckDB via :func:`hash_draw_sql`."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def hash_draw_sql(col: str, salt: str = "") -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR) || '{salt}'), "
+        f"1, 15)) AS BIGINT)"
+    )
+
+
+def keep_threshold(rate: float) -> int:
+    """Integer keep-threshold for `rate` — computed once driver-side so
+    both engines compare against the same int literal."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~`rate` fraction of rows: row survives iff
+    hash_draw(key, salt) < int(rate * 16^15).
+
+    Changing `salt` yields an independent draw (disjoint-looking
+    subsets for ablations); the same (key, salt) always lands on the
+    same side, so reruns, resumes, and downstream joins see a stable
+    subset. Map-only — no shuffle at any scale.
+    """
+    return df.where(hash_draw(F.col(key_col), salt) < keep_threshold(rate))
+
+
+def hash_sample_sql(
+    table: str, rate: float, key_col: str = "doc_id", salt: str = "",
+    columns: str = "*",
+) -> str:
+    return (
+        f"SELECT {columns} FROM {table} "
+        f"WHERE {hash_draw_sql(key_col, salt)} < {keep_threshold(rate)}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_key: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    oversample: float = 2.0,
+    keys_broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """Exact deterministic top-`n_per_key` rows per `key_col` stratum,
+    ranked by hash_draw(id, salt) with `id_col` as the tie-break.
+
+    Equivalent by construction to the naive
+    `row_number() OVER (PARTITION BY key ORDER BY draw, id) <= n`
+    (the DuckDB twin runs exactly that), but never sorts a full
+    stratum: survivors of a per-key hash threshold
+    (~`oversample * n_per_key` rows expected per key) are ranked, and
+    any key whose survivors undershoot its quota falls back to its
+    full stratum — rare (P ~ exp(-n·(o-1)²/(o+1)) per key by Chernoff)
+    but required for exactness.
+
+    `keys_broadcast_limit` guards the broadcast of the per-key count
+    table: beyond it the key cardinality is high enough that plain
+    windowing has no skewed stratum to fear — the guard raises so the
+    caller decides, instead of silently broadcasting a giant table.
+    """
+    if n_per_key < 1:
+        raise ValueError(f"n_per_key must be >= 1, got {n_per_key}")
+    draw = hash_draw(F.col(id_col), salt)
+    tagged = df.withColumn("_draw", draw)
+
+    counts = tagged.groupBy(key_col).agg(F.count("*").alias("_cnt"))
+    n_keys = counts.limit(keys_broadcast_limit + 1).count()
+    if n_keys > keys_broadcast_limit:
+        raise ValueError(
+            f"stratified_sample: > {keys_broadcast_limit} strata; "
+            "per-key counts no longer broadcastable — use a plain "
+            "window (no single stratum can dominate at this cardinality)"
+        )
+    # integer threshold per key: ceil-free conservative form
+    # min(HASH_SPACE, oversample * n / cnt * HASH_SPACE). The clamp
+    # happens in DOUBLE space BEFORE the bigint cast — for tiny strata
+    # the unclamped product exceeds int64 and the cast would overflow.
+    thr = F.least(
+        F.lit(float(HASH_SPACE)),
+        F.lit(float(HASH_SPACE) * oversample * n_per_key) / F.col("_cnt"),
+    ).cast("bigint") + F.lit(1)
+    counts = counts.withColumn("_thr", thr)
+
+    joined = tagged.join(F.broadcast(counts), key_col)
+    surv = joined.where(F.col("_draw") < F.col("_thr"))
+
+    # keys whose survivors undershoot min(n, cnt): fall back to the
+    # full stratum for those keys only (second pruned pass)
+    deficient = (
+        surv.groupBy(key_col).agg(F.count("*").alias("_scnt"))
+        .join(counts, key_col, "right")
+        .where(
+            F.coalesce(F.col("_scnt"), F.lit(0))
+            < F.least(F.col("_cnt"), F.lit(n_per_key))
+        )
+        .select(key_col)
+    )
+    pool = surv.join(F.broadcast(deficient), key_col, "left_anti").unionByName(
+        joined.join(F.broadcast(deficient), key_col, "left_semi")
+    )
+
+    w = Window.partitionBy(key_col).orderBy(F.col("_draw"), F.col(id_col))
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_key)
+        .drop("_draw", "_cnt", "_thr", "_rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    n_per_key: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    columns: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB twin: the plain full-table window — the semantics
+    `stratified_sample` reproduces without the full-stratum sort."""
+    cols = ", ".join(columns) if columns else "*"
+    return f"""
+SELECT {cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {key_col}
+    ORDER BY {hash_draw_sql(id_col, salt)}, {id_col}) AS _rn
+  FROM {table}
+) WHERE _rn <= {n_per_key}
+"""

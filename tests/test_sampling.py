@@ -1,0 +1,97 @@
+"""Deterministic sampling operators (operators/sampling.py): stable
+hash fractions, exact stratified top-n without full-stratum sorts."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.sampling import (
+    HASH_SPACE,
+    hash_draw,
+    hash_sample,
+    keep_threshold,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    ).persist()
+
+
+def test_hash_sample_rate_and_determinism(corpus):
+    a = hash_sample(corpus, 0.25, salt="s1")
+    b = hash_sample(corpus, 0.25, salt="s1")
+    ids_a = {r.doc_id for r in a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # pure function of (key, salt)
+    assert 0.20 < len(ids_a) / 6000 < 0.30
+    # different salt = independent draw, same expected rate
+    ids_c = {r.doc_id for r in
+             hash_sample(corpus, 0.25, salt="s2").select("doc_id").collect()}
+    assert ids_c != ids_a
+    assert 0.20 < len(ids_c) / 6000 < 0.30
+    # nesting: a 0.1 sample is a subset of the 0.25 sample (same salt)
+    ids_d = {r.doc_id for r in
+             hash_sample(corpus, 0.1, salt="s1").select("doc_id").collect()}
+    assert ids_d <= ids_a
+
+
+def test_keep_threshold_bounds():
+    assert keep_threshold(0.0) == 0
+    assert keep_threshold(1.0) == HASH_SPACE
+    with pytest.raises(ValueError):
+        keep_threshold(1.5)
+
+
+def _ground_truth(corpus, n):
+    """The naive semantics: full-table window top-n per key."""
+    w = Window.partitionBy("lang").orderBy(
+        hash_draw(F.col("doc_id"), "q"), F.col("doc_id"))
+    return {
+        (r.lang, r.doc_id)
+        for r in corpus.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n).select("lang", "doc_id").collect()
+    }
+
+
+def test_stratified_exact_vs_plain_window(corpus):
+    got = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample(corpus, 40, key_col="lang", salt="q")
+        .select("lang", "doc_id").collect()
+    }
+    assert got == _ground_truth(corpus, 40)
+    assert len(got) == 5 * 40
+
+
+def test_stratified_fallback_path_still_exact(corpus):
+    # oversample so small the hash threshold keeps ~1 row/key: every
+    # key goes deficient and falls back to its full stratum — the
+    # result must STILL equal the plain-window truth
+    got = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample(
+            corpus, 40, key_col="lang", salt="q", oversample=0.001)
+        .select("lang", "doc_id").collect()
+    }
+    assert got == _ground_truth(corpus, 40)
+
+
+def test_stratified_small_strata_kept_whole(spark):
+    tiny = spark.range(7).select(
+        F.col("id").alias("doc_id"), F.lit("xx").alias("lang"))
+    out = stratified_sample(tiny, 40, key_col="lang")
+    assert out.count() == 7
+
+
+def test_stratified_rejects_bad_args(corpus):
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, 0)
+    with pytest.raises(ValueError, match="strata"):
+        stratified_sample(
+            corpus, 2, key_col="doc_id", keys_broadcast_limit=10)

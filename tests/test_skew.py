@@ -183,3 +183,18 @@ def test_cluster_chain_past_fixed_rounds(spark):
     out = dedup.dedup_clusters(pairs).collect()
     assert len(out) == 20
     assert {r.cluster_id for r in out} == {0}
+
+
+def test_keep_canonical_filters_to_cluster_keepers(spark):
+    # components {0,1,2} (path) and {10,11}; 5,6,7 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (0, 1, 2, 5, 6, 7, 10, 11)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in
+                  dedup.keep_canonical(docs, pairs).collect())
+    # keepers 0 and 10 survive, other members drop, unpaired all stay
+    assert kept == [0, 5, 6, 7, 10]

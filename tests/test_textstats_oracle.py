@@ -103,3 +103,28 @@ def test_rolling_fingerprint_is_rabin_karp(spark):
     for ch in "abc":
         exp = (exp * ROLL_BASE + ord(ch)) % ROLL_MOD
     assert got == exp
+
+
+def test_pii_counts_and_redact(spark, duck):
+    from pdf_parser_spark.functions import textstats as ts
+
+    s = ("contact a@b.com or c.d@e.org, server 10.2.3.4, ssn 123-45-6789 "
+         "not-a-mail @ nowhere, version 1.2 only")
+    df = spark.createDataFrame([(s,)], "text string")
+    c = ts.pii_counts(F.col("text"))
+    row = df.select(
+        c["emails"].alias("e"), c["ipv4s"].alias("i"),
+        c["ssn_like"].alias("s"),
+        ts.pii_redact(F.col("text")).alias("red"),
+    ).first()
+    assert (row.e, row.i, row.s) == (2, 1, 1)
+    assert row.red.count("<PII>") == 4
+    assert "@" in row.red and "a@b.com" not in row.red  # lone @ kept
+    # DuckDB twins compute the identical values on the same string
+    d = duck.execute(
+        f"SELECT {ts.pii_counts_sql('t')['emails']} AS e, "
+        f"{ts.pii_counts_sql('t')['ipv4s']} AS i, "
+        f"{ts.pii_counts_sql('t')['ssn_like']} AS s, "
+        f"{ts.pii_redact_sql('t')} AS red FROM (SELECT ? AS t)", [s]
+    ).fetchone()
+    assert d == (row.e, row.i, row.s, row.red)
