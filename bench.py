@@ -145,6 +145,17 @@ def main() -> None:
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),
     )
 
+    # sampling / packing / PII (map-side or few-shuffle natives)
+    timed("hash_sample", lambda: entry._q_hash_sample(spark, sf_dir).count())
+    timed(
+        "stratified_sample",
+        lambda: entry._q_stratified_sample(spark, sf_dir).count(),
+    )
+    timed("pack_blocks", lambda: entry._q_pack_blocks(spark, sf_dir)
+          .agg(F.max("bin_id")).collect())
+    timed("pii_counts", lambda: entry._q_pii_counts(spark, sf_dir)
+          .agg(F.sum("emails"), F.sum("redacted_len")).collect())
+
     # relational natives
     timed(
         "pricing_summary",

@@ -41,6 +41,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persisted
+
 #: md5-prefix draw space: 15 hex chars < 2^60, safely inside int64.
 HASH_SPACE = 16 ** 15
 
@@ -114,57 +116,83 @@ def stratified_sample(
     full stratum — rare (P ~ exp(-n·(o-1)²/(o+1)) per key by Chernoff)
     but required for exactness.
 
-    `keys_broadcast_limit` guards the broadcast of the per-key count
-    table: beyond it the key cardinality is high enough that plain
-    windowing has no skewed stratum to fear — the guard raises so the
-    caller decides, instead of silently broadcasting a giant table.
+    `keys_broadcast_limit` bounds the driver-side collect of per-key
+    counts (collected once; as DataFrame references the count agg —
+    and its table SCAN — would re-run per consuming branch): beyond
+    it the key cardinality is high enough that plain windowing has no
+    skewed stratum to fear — the guard raises so the caller decides,
+    instead of silently pulling a giant count table to the driver.
     """
     if n_per_key < 1:
         raise ValueError(f"n_per_key must be >= 1, got {n_per_key}")
     draw = hash_draw(F.col(id_col), salt)
     tagged = df.withColumn("_draw", draw)
 
-    counts = tagged.groupBy(key_col).agg(F.count("*").alias("_cnt"))
-    n_keys = counts.limit(keys_broadcast_limit + 1).count()
-    if n_keys > keys_broadcast_limit:
+    # Per-key counts collected ONCE driver-side (bounded by the guard
+    # below — the same pattern as the job lineage / IVF codebook
+    # collects). Referencing a counts DataFrame from the downstream
+    # branches instead would re-run the full-table aggregation — and
+    # its SCAN — once per reference (measured: 5 table scans in the
+    # naive plan); as a local relation it costs the plan nothing.
+    cnt_rows = (
+        tagged.groupBy(key_col).agg(F.count("*").alias("_cnt"))
+        .limit(keys_broadcast_limit + 1).collect()
+    )
+    if len(cnt_rows) > keys_broadcast_limit:
         raise ValueError(
             f"stratified_sample: > {keys_broadcast_limit} strata; "
-            "per-key counts no longer broadcastable — use a plain "
+            "per-key counts no longer driver-collectable — use a plain "
             "window (no single stratum can dominate at this cardinality)"
         )
-    # integer threshold per key: ceil-free conservative form
-    # min(HASH_SPACE, oversample * n / cnt * HASH_SPACE). The clamp
-    # happens in DOUBLE space BEFORE the bigint cast — for tiny strata
-    # the unclamped product exceeds int64 and the cast would overflow.
-    thr = F.least(
-        F.lit(float(HASH_SPACE)),
-        F.lit(float(HASH_SPACE) * oversample * n_per_key) / F.col("_cnt"),
-    ).cast("bigint") + F.lit(1)
-    counts = counts.withColumn("_thr", thr)
-
-    joined = tagged.join(F.broadcast(counts), key_col)
-    surv = joined.where(F.col("_draw") < F.col("_thr"))
-
-    # keys whose survivors undershoot min(n, cnt): fall back to the
-    # full stratum for those keys only (second pruned pass)
-    deficient = (
-        surv.groupBy(key_col).agg(F.count("*").alias("_scnt"))
-        .join(counts, key_col, "right")
-        .where(
-            F.coalesce(F.col("_scnt"), F.lit(0))
-            < F.least(F.col("_cnt"), F.lit(n_per_key))
-        )
-        .select(key_col)
+    counts = {r[key_col]: r["_cnt"] for r in cnt_rows}
+    # integer threshold per key: min(HASH_SPACE, ceil-free conservative
+    # oversample * n / cnt * HASH_SPACE) — pure int comparisons on the
+    # executors, no float in the filter.
+    thresholds = {
+        k: min(HASH_SPACE,
+               int(float(HASH_SPACE) * oversample * n_per_key / c) + 1)
+        for k, c in counts.items()
+    }
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(k, t) for k, t in thresholds.items()], [key_col, "_thr"]
     )
-    pool = surv.join(F.broadcast(deficient), key_col, "left_anti").unionByName(
-        joined.join(F.broadcast(deficient), key_col, "left_semi")
+    surv = persisted(
+        tagged.join(F.broadcast(thr_df), key_col)
+        .where(F.col("_draw") < F.col("_thr"))
+        .drop("_thr")
     )
+
+    # keys whose survivors undershoot min(n, cnt) fall back to their
+    # full stratum — rare, so the common case never re-scans the table
+    scnt = {
+        r[key_col]: r["_scnt"]
+        for r in surv.groupBy(key_col).agg(F.count("*").alias("_scnt"))
+        .collect()
+    }
+    deficient = [
+        k for k, c in counts.items()
+        if scnt.get(k, 0) < min(c, n_per_key)
+    ]
+    pool = surv
+    if deficient:
+        if len(deficient) <= 256:
+            # literal IN-filter pushes to the parquet scan
+            fallback = tagged.where(F.col(key_col).isin(deficient))
+            pool = surv.where(~F.col(key_col).isin(deficient))
+        else:
+            dd = F.broadcast(
+                spark.createDataFrame([(k,) for k in deficient], [key_col])
+            )
+            fallback = tagged.join(dd, key_col, "left_semi")
+            pool = surv.join(dd, key_col, "left_anti")
+        pool = pool.unionByName(fallback.select(*pool.columns))
 
     w = Window.partitionBy(key_col).orderBy(F.col("_draw"), F.col(id_col))
     return (
         pool.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_per_key)
-        .drop("_draw", "_cnt", "_thr", "_rn")
+        .drop("_draw", "_rn")
     )
 
 

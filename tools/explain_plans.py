@@ -146,6 +146,42 @@ def main() -> None:
         "no global sort, no vector shuffle.",
     )
 
+    from pdf_parser_spark.operators.packing import pack_blocks
+    from pdf_parser_spark.operators.sampling import (
+        hash_sample, stratified_sample,
+    )
+
+    add(
+        "Deterministic hash sample",
+        hash_sample(docs, 0.25).select("doc_id", "lang"),
+        "Map-only: the md5-threshold filter rides the scan (no "
+        "Exchange anywhere), column pruning reaches the parquet "
+        "ReadSchema. Reproducible at any cluster size.",
+    )
+
+    add(
+        "Stratified sample (exact per-key top-n, no full-stratum sort)",
+        stratified_sample(docs, 25, key_col="lang"),
+        "ONE parquet scan: per-key counts are collected driver-side "
+        "(bounded, like the lineage agg) and come back as a local "
+        "relation, so the threshold join is a BroadcastHashJoin with "
+        "no second table scan; survivors persist; ONE hash Exchange "
+        "feeds the window over ~oversample*n rows per key (plus "
+        "WindowGroupLimit pre-pruning) — the full-stratum sort a "
+        "plain window would run never happens, and the deficient-key "
+        "fallback branch only exists in the plan when a key actually "
+        "undershot.",
+    )
+
+    add(
+        "Sequence packing (block bins per hash-group)",
+        pack_blocks(docs, capacity=256, n_groups=16),
+        "ONE Exchange on the group key + n_groups parallel cumsum "
+        "windows — the global-order single-task window is the "
+        "anti-pattern this shape avoids. Only (id, n_tokens) ever "
+        "shuffles; texts stay in the scan.",
+    )
+
     body = (
         "# PLANS — physical-plan evidence for the scale design\n\n"
         "Captured by tools/explain_plans.py at sf0.01 (plans are "
