@@ -41,6 +41,7 @@ from pdf_parser_spark.operators import multimodal as mm
 from pdf_parser_spark.operators import packing as pk
 from pdf_parser_spark.operators import sampling as smp
 from pdf_parser_spark.operators import similarity as sim
+from pdf_parser_spark.operators import spans as sp
 
 # --------------------------------------------------------------- loaders
 
@@ -1122,6 +1123,61 @@ def _q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 8-gram spans, merged per document (Lee et
+    al. 2022 exact-substring dedup, Spark-shaped — operators/spans.py)."""
+    return sp.dup_spans(_docs(spark, sf_dir), n=8).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+
+
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus duplication fraction — the corpus-level
+    sibling of the Gopher within-doc repetition ratio."""
+    return sp.dup_span_stats(_docs(spark, sf_dir), n=8)
+
+
+#: benchmark set for the contamination queries: a deterministic 5%
+#: hash-sample of the corpus standing in for an eval set — the SAME
+#: predicate runs on both engines.
+_BENCH_RATE, _BENCH_SALT = 0.05, "bench"
+
+
+def _bench_pred_sql() -> str:
+    return (
+        f"{smp.hash_draw_sql('doc_id', _BENCH_SALT)} "
+        f"< {smp.keep_threshold(_BENCH_RATE)}"
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: distinct shared 8-grams per
+    contaminated doc; the eval-set hashes ride a broadcast, only hit
+    rows shuffle (operators/spans.py)."""
+    docs = _docs(spark, sf_dir)
+    bench = smp.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
+    return sp.contamination(docs, sp.benchmark_ngram_hashes(bench, n=8), n=8)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped filter: corpus minus contaminated docs (id-only
+    anti-join; payloads never shuffle)."""
+    docs = _docs(spark, sf_dir)
+    bench = smp.hash_sample(docs, _BENCH_RATE, salt=_BENCH_SALT)
+    return sp.decontaminate(
+        docs, sp.benchmark_ngram_hashes(bench, n=8), n=8
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _q_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-output shuffle assignment (part +
+    sort key as pure functions of doc_id — operators/sampling.py)."""
+    return smp.shuffle_assignment(_docs(spark, sf_dir), 16, salt="r3")
+
+
 def _q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup FILTER a pipeline ships: LSH candidates → connected
     components → drop every member except the min-id keeper."""
@@ -1186,6 +1242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_blocks": _q_pack_blocks,
         "pii_counts": _q_pii_counts,
         "keep_canonical": _q_keep_canonical,
+        "dup_spans": _q_dup_spans,
+        "dup_span_stats": _q_dup_span_stats,
+        "contamination": _q_contamination,
+        "decontaminate": _q_decontaminate,
+        "shuffle_assignment": _q_shuffle_assignment,
     }
 
 
@@ -1652,5 +1713,17 @@ def oracle_sql() -> dict[str, str]:
         "keep_canonical": dedup.keep_canonical_sql(
             "documents", _minhash_lsh_sql(),
             columns="doc_id, lang, n_chars",
+        ),
+        "dup_spans": sp.dup_spans_sql("documents", n=8),
+        "dup_span_stats": sp.dup_span_stats_sql("documents", n=8),
+        "contamination": sp.contamination_sql(
+            "documents", _bench_pred_sql(), n=8
+        ),
+        "decontaminate": sp.decontaminate_sql(
+            "documents", _bench_pred_sql(), n=8,
+            columns="doc_id, lang, n_chars",
+        ),
+        "shuffle_assignment": smp.shuffle_assignment_sql(
+            "documents", 16, salt="r3"
         ),
     }

@@ -117,6 +117,16 @@ def main() -> None:
         lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count(),
     )
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
+    timed(
+        "dup_spans",
+        lambda: entry._q_dup_span_stats(spark, sf_dir)
+        .agg(F.sum("dup_words")).collect(),
+    )
+    timed(
+        "contamination",
+        lambda: entry._q_contamination(spark, sf_dir)
+        .agg(F.sum("n_hits")).collect(),
+    )
 
     # text analysis (one fused native pass)
     def q_textstats():

@@ -196,6 +196,65 @@ def stratified_sample(
     )
 
 
+def shuffle_assignment(
+    df: DataFrame, n_parts: int, id_col: str = "doc_id", salt: str = "",
+) -> DataFrame:
+    """Deterministic global-shuffle assignment for training output →
+    (id, part, sort_key): `part = hash_draw(id, salt) % n_parts`,
+    `sort_key` the draw itself. Reading parts in order of
+    (part, sort_key, id) is a uniform corpus permutation that is a
+    pure function of (ids, salt) — reproducible across runs, cluster
+    sizes, and engines, unlike `df.orderBy(rand())` (whose result
+    depends on partitioning) or a single global sort (one-task
+    anti-pattern). Map-only; the physical shuffle happens once, in
+    :func:`write_shuffled`.
+    """
+    if n_parts < 1:
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    draw = hash_draw(F.col(id_col), salt)
+    return df.select(
+        F.col(id_col),
+        (draw % n_parts).cast("int").alias("part"),
+        draw.alias("sort_key"),
+    )
+
+
+def shuffle_assignment_sql(
+    table: str, n_parts: int, id_col: str = "doc_id", salt: str = "",
+) -> str:
+    draw = hash_draw_sql(id_col, salt)
+    return (
+        f"SELECT {id_col}, CAST({draw} % {n_parts} AS INT) AS part, "
+        f"{draw} AS sort_key FROM {table}"
+    )
+
+
+def write_shuffled(
+    df: DataFrame, path: str, n_parts: int, id_col: str = "doc_id",
+    salt: str = "", fmt: str = "parquet",
+) -> None:
+    """Materialize the training-ready shuffled corpus: ONE hash
+    repartition on the :func:`shuffle_assignment` part column into
+    `n_parts` tasks, rows sorted within each task by (sort_key, id) —
+    the per-task external sort spills, never a global sort. A reader
+    streaming the output files gets a reproducible uniform permutation
+    of the corpus. Spark maps the `part` value to a task by re-hashing
+    it, so one physical file may carry several logical parts — each
+    internally sorted, which is what sequential training consumption
+    needs; per-part physical files are `partitionBy("part")` away.
+    """
+    draw = hash_draw(F.col(id_col), salt)
+    tagged = df.withColumn("_sort_key", draw).withColumn(
+        "part", (draw % n_parts).cast("int")
+    )
+    (
+        tagged.repartition(n_parts, F.col("part"))
+        .sortWithinPartitions("_sort_key", id_col)
+        .drop("_sort_key")
+        .write.format(fmt).mode("overwrite").save(path)
+    )
+
+
 def stratified_sample_sql(
     table: str,
     n_per_key: int,

@@ -182,6 +182,45 @@ def main() -> None:
         "shuffles; texts stay in the scan.",
     )
 
+    from pdf_parser_spark.operators.sampling import (
+        hash_sample as _hs, shuffle_assignment,
+    )
+    from pdf_parser_spark.operators.spans import (
+        benchmark_ngram_hashes, contamination, dup_spans,
+    )
+
+    add(
+        "Duplicated spans (Lee et al. exact-substring dedup, Spark-shaped)",
+        dup_spans(docs, n=8),
+        "The honest heavyweight: positional n-gram hashes explode "
+        "map-side (one md5 per shingle), the global occurrence count "
+        "and the join-back shuffle ONLY (doc_id, pos, hash8) triples "
+        "— texts never move — and the per-doc merge window partitions "
+        "by doc_id (unskewed by construction). Hot boilerplate "
+        "n-grams skew the bigint join keys; AQE skew-join splits "
+        "those. Partial aggregation (HashAggregate x2) halves the "
+        "count shuffle.",
+    )
+
+    add(
+        "Benchmark decontamination (contaminated-doc n-gram hits)",
+        contamination(docs, benchmark_ngram_hashes(_hs(docs, 0.05,
+                                                       salt="bench"), n=8)),
+        "The eval-set hashes ride a BroadcastExchange into a "
+        "map-side BroadcastHashJoin over the exploded corpus "
+        "n-grams; the only hash Exchange carries the HIT rows "
+        "(doc_id, h) — clean documents never leave their scan task. "
+        "At crawl scale hits are a vanishing fraction of the corpus.",
+    )
+
+    add(
+        "Training-shuffle assignment",
+        shuffle_assignment(docs, 16),
+        "Map-only: part and sort key are pure md5 functions of "
+        "doc_id (no Exchange; reproducible at any cluster size); the "
+        "writer pays ONE hash repartition + per-task external sort.",
+    )
+
     body = (
         "# PLANS — physical-plan evidence for the scale design\n\n"
         "Captured by tools/explain_plans.py at sf0.01 (plans are "
