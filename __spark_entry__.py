@@ -1172,6 +1172,26 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped span-dedup transform: duplicated spans cut out of
+    the text (whitespace-normalized) — operators/spans.py."""
+    return sp.strip_dup_spans(_docs(spark, sf_dir), n=8)
+
+
+#: target language mix for the data-mixing query — the SAME dict feeds
+#: both engines (thresholds are identical IEEE-double expressions).
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05}
+
+
+def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stage: largest subcorpus matching the target
+    per-language proportions, kept rows decided by integer hash
+    thresholds (operators/sampling.py)."""
+    return smp.mix_corpus(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, key_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-output shuffle assignment (part +
     sort key as pure functions of doc_id — operators/sampling.py)."""
@@ -1247,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "decontaminate": _q_decontaminate,
         "shuffle_assignment": _q_shuffle_assignment,
+        "mix_corpus": _q_mix_corpus,
+        "strip_dup_spans": _q_strip_dup_spans,
     }
 
 
@@ -1726,4 +1748,9 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_assignment": smp.shuffle_assignment_sql(
             "documents", 16, salt="r3"
         ),
+        "mix_corpus": smp.mix_corpus_sql(
+            "documents", _MIX_WEIGHTS, key_col="lang",
+            columns="d.doc_id, d.lang, d.n_chars",
+        ),
+        "strip_dup_spans": sp.strip_dup_spans_sql("documents", n=8),
     }

@@ -157,6 +157,7 @@ def main() -> None:
 
     # sampling / packing / PII (map-side or few-shuffle natives)
     timed("hash_sample", lambda: entry._q_hash_sample(spark, sf_dir).count())
+    timed("mix_corpus", lambda: entry._q_mix_corpus(spark, sf_dir).count())
     timed(
         "stratified_sample",
         lambda: entry._q_stratified_sample(spark, sf_dir).count(),

@@ -196,6 +196,118 @@ def stratified_sample(
     )
 
 
+def mix_thresholds(
+    counts: dict, weights: dict, strict: bool = True
+) -> dict:
+    """Per-stratum integer keep-thresholds realizing the target mix.
+
+    `weights` are relative target proportions per stratum (they are
+    normalized here); `counts` the available rows per stratum. The
+    output corpus is the LARGEST one with exactly the target
+    proportions: total T = min_s(count_s / w_s), keep-rate_s =
+    w_s * T / count_s (the binding stratum keeps everything, the rest
+    downsample). Thresholds are floor(rate * 16^15) — the same IEEE
+    double expression the DuckDB twin evaluates, so both engines keep
+    bit-identical row sets.
+    """
+    import math
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    missing = [s for s in weights if counts.get(s, 0) <= 0]
+    if missing:
+        if strict:
+            raise ValueError(
+                f"mix infeasible: no rows for strata {sorted(missing)}"
+            )
+        weights = {s: w for s, w in weights.items() if s not in missing}
+        if not weights:
+            return {}
+    tot = float(sum(weights.values()))
+    wn = {s: w / tot for s, w in weights.items()}
+    t_total = min(counts[s] / wn[s] for s in wn)
+    return {
+        s: int(math.floor(wn[s] * t_total / counts[s] * HASH_SPACE))
+        for s in wn
+    }
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    keys_broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """Source-weighted deterministic downsampling — the data-mixing
+    stage between dedup and training (Pile/Dolma-style): keep the
+    largest subcorpus whose per-stratum proportions equal `weights`.
+    Strata absent from `weights` are dropped.
+
+    One pruned pass for the per-stratum counts (collected driver-side,
+    bounded like `stratified_sample`'s), then a map-side broadcast
+    join + integer hash-threshold filter — no shuffle of the kept
+    rows, reproducible at any cluster size.
+    """
+    cnt_rows = (
+        df.groupBy(key_col).agg(F.count("*").alias("_cnt"))
+        .limit(keys_broadcast_limit + 1).collect()
+    )
+    if len(cnt_rows) > keys_broadcast_limit:
+        raise ValueError(
+            f"mix_corpus: > {keys_broadcast_limit} strata; aggregate "
+            "to a coarser key before mixing"
+        )
+    counts = {r[key_col]: r["_cnt"] for r in cnt_rows}
+    thresholds = mix_thresholds(counts, weights)
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(k, t) for k, t in thresholds.items()], [key_col, "_thr"]
+    )
+    return (
+        df.join(F.broadcast(thr_df), key_col)
+        .where(hash_draw(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def mix_corpus_sql(
+    table: str,
+    weights: dict,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`mix_corpus`: computes the SAME thresholds
+    from the SAME counts with the SAME double expression shape
+    (w*T/count*16^15, floored), so the kept row set is bit-identical.
+    `weights` must be the same dict passed to the Spark side
+    (normalized weights are embedded as full-precision literals)."""
+    tot = float(sum(weights.values()))
+    vals = ", ".join(
+        f"('{s}', {w / tot!r})" for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH w(k, wn) AS (VALUES {vals}),
+cnt AS (
+  SELECT {key_col} AS k, CAST(count(*) AS DOUBLE) AS c
+  FROM {table} GROUP BY {key_col}
+),
+tt AS (SELECT MIN(c / wn) AS t FROM cnt JOIN w USING (k)),
+thr AS (
+  SELECT k, CAST(floor(wn * (SELECT t FROM tt) / c * {HASH_SPACE}.0)
+              AS BIGINT) AS thr
+  FROM cnt JOIN w USING (k)
+)
+SELECT {columns} FROM {table} d JOIN thr ON d.{key_col} = thr.k
+WHERE {hash_draw_sql("d." + id_col, salt)} < thr.thr
+"""
+
+
 def shuffle_assignment(
     df: DataFrame, n_parts: int, id_col: str = "doc_id", salt: str = "",
 ) -> DataFrame:

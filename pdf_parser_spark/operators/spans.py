@@ -227,6 +227,104 @@ FROM {table} t LEFT JOIN per_doc p ON t.{id_col} = p.{id_col}
 """
 
 
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_NGRAM,
+    min_count: int = 2,
+) -> DataFrame:
+    """The step Lee et al. actually ship: cut every duplicated span
+    out of the text → (id, text, n_words_kept). Whitespace is
+    normalized to single spaces (positions are defined by the \\s+
+    tokenization, so the rebuilt text is the space-join of the kept
+    words); documents with no duplicated spans pass through with the
+    same normalization, so the output column is uniformly normalized.
+
+    Plan shape: spans per doc collapse to ONE small array via
+    collect_list (bounded by spans-per-doc, not corpus size), join
+    back on id, and the word filter is a native nested higher-order
+    expression (filter + exists) — no Python, texts shuffle once as
+    the span join's probe side is the original scan.
+    """
+    spans = dup_spans(df, text_col, id_col, n, min_count)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    joined = df.join(span_arr, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<s:int,e:int>>"),
+        ),
+    )
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(kept).alias("n_words_kept"),
+    )
+
+
+def strip_dup_spans_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SPAN_NGRAM,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`strip_dup_spans`, formulated relationally
+    (positions minus span-covered positions, space-joined in order) —
+    same semantics as the Spark side's array filter, different
+    decomposition, so the oracle validates the meaning not the plan."""
+    spans = dup_spans_sql(table, text_col, id_col, n, min_count)
+    words = (
+        f"CASE WHEN trim({text_col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim({text_col}), '\\s+') END"
+    )
+    return f"""
+WITH spans AS ({spans}),
+covered AS (
+  SELECT DISTINCT {id_col},
+         unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+),
+allpos AS (
+  SELECT {id_col},
+         unnest(generate_series(1, len(ws))) AS pos,
+         unnest(ws) AS w
+  FROM (SELECT {id_col}, {words} AS ws FROM {table})
+),
+kept AS (
+  SELECT a.* FROM allpos a
+  LEFT JOIN covered c ON a.{id_col} = c.{id_col} AND a.pos = c.pos
+  WHERE c.pos IS NULL
+)
+SELECT t.{id_col},
+       coalesce(k.text, '') AS {text_col},
+       CAST(coalesce(k.nw, 0) AS INT) AS n_words_kept
+FROM {table} t
+LEFT JOIN (
+  SELECT {id_col}, string_agg(w, ' ' ORDER BY pos) AS text,
+         count(*) AS nw
+  FROM kept GROUP BY {id_col}
+) k ON t.{id_col} = k.{id_col}
+"""
+
+
 # ------------------------------------------------------ decontamination
 
 

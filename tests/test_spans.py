@@ -88,6 +88,17 @@ def test_dup_spans_min_count(corpus):
         dup_spans(corpus, min_count=1)
 
 
+def test_strip_dup_spans(corpus):
+    from pdf_parser_spark.operators.spans import strip_dup_spans
+
+    out = {r.doc_id: r for r in strip_dup_spans(corpus, n=3).collect()}
+    assert out[1].text == "zeta unique1 unique2"  # span [1,5] removed
+    assert out[1].n_words_kept == 3
+    assert out[3].text == "xx yy"  # both repeated phrases cut
+    assert out[4].text == corpus.where("doc_id = 4").first().text
+    assert out[5].text == "" and out[5].n_words_kept == 0
+
+
 def test_contamination_and_decontaminate(corpus, spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
@@ -114,6 +125,40 @@ def test_shuffle_assignment_deterministic(corpus):
     assert all(0 <= p < 4 for _, p, _ in rows)
     with pytest.raises(ValueError):
         shuffle_assignment(corpus, 0)
+
+
+def test_mix_corpus_proportions(spark):
+    from pdf_parser_spark.operators.sampling import mix_corpus, mix_thresholds
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "en")
+        .when(F.col("id") % 10 < 9, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    # counts: en 2400, de 1200, xx 400; weights 1:1 -> T bound by de
+    out = mix_corpus(df, {"en": 0.5, "de": 0.5}, key_col="lang")
+    got = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert "xx" not in got            # unweighted strata dropped
+    assert got["de"] == 1200          # binding stratum kept whole
+    assert abs(got["en"] - 1200) < 120  # ~rate 0.5 of 2400, hash noise
+    # determinism
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         mix_corpus(df, {"en": 0.5, "de": 0.5}, key_col="lang")
+         .select("doc_id").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="infeasible"):
+        mix_corpus(df, {"en": 1.0, "missing": 1.0}, key_col="lang")
+    assert mix_thresholds({"en": 10}, {"en": 1.0, "gone": 1.0},
+                          strict=False) == {"en": 1152921504606846976}
+    with pytest.raises(ValueError):
+        mix_thresholds({"en": 10}, {})
+    with pytest.raises(ValueError):
+        mix_thresholds({"en": 10}, {"en": -1.0})
 
 
 def test_write_shuffled_sorted_files(spark, tmp_path):

@@ -213,6 +213,32 @@ def main() -> None:
         "At crawl scale hits are a vanishing fraction of the corpus.",
     )
 
+    from pdf_parser_spark.operators.spans import strip_dup_spans
+
+    add(
+        "Span-dedup transform (duplicated spans cut out of the text)",
+        strip_dup_spans(docs, n=8),
+        "The per-doc span list collapses to ONE bounded array "
+        "(collect_list after the merge windows), joins back on "
+        "doc_id, and the word cut is a native nested filter/exists "
+        "higher-order expression — no Python anywhere; texts cross "
+        "exactly one join.",
+    )
+
+    from pdf_parser_spark.operators.sampling import mix_corpus
+
+    add(
+        "Data mixing (source-weighted downsample)",
+        mix_corpus(docs, {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1,
+                          "zh": 0.05}, key_col="lang"),
+        "Per-stratum counts are collected ONCE driver-side (bounded, "
+        "same pattern as stratified_sample) and return as integer "
+        "thresholds in a broadcast local relation, so the mix is a "
+        "map-side BroadcastHashJoin + hash filter over ONE scan of "
+        "the corpus — kept rows never shuffle, and the row set is a "
+        "pure function of (ids, weights, salt) at any cluster size.",
+    )
+
     add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
