@@ -42,6 +42,8 @@ from pdf_parser_spark.operators import packing as pk
 from pdf_parser_spark.operators import sampling as smp
 from pdf_parser_spark.operators import similarity as sim
 from pdf_parser_spark.operators import spans as sp
+from pdf_parser_spark.operators import terms as tm
+from pdf_parser_spark.operators import urls as ur
 
 # --------------------------------------------------------------- loaders
 
@@ -1192,6 +1194,119 @@ def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+#: deterministic messy-URL constructor shared VERBATIM by both engines
+#: (Spark parses it via F.expr, DuckDB inline): mixed-case scheme/host,
+#: default ports, trailing slashes, tracking params, fragments — every
+#: variant the canonicalizer must fold. No url column exists in the
+#: test tables, so the url is a pure function of doc_id.
+_SYNTH_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://', "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'cdn.' END, "
+    "'Example-', CAST(doc_id % 37 AS STRING), "
+    "CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.Com' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN ':80' "
+    "WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END, "
+    "'/Path/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&fbclid=XYZ' ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"
+)
+
+#: literal blocklist for the blocked-domains query (covers both the
+#: .com and the multi-part .co.uk suffix branches).
+_BLOCKED = ("example-0.co.uk", "example-3.com", "example-17.com")
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn("url", F.expr(_SYNTH_URL_SQL))
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered domain + exact-dedup key —
+    map-only native projection (operators/urls.py)."""
+    d = ur.with_url_columns(_synth_urls(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("canon_url"),
+        F.col("domain"),
+        F.md5("canon_url").alias("url_key"),
+    )
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus stats — one partial-agg shuffle
+    on the domain key (operators/urls.py)."""
+    return ur.domain_stats(_synth_urls(spark, sf_dir))
+
+
+def _q_blocked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filter — map-side literal predicate, no
+    shuffle (operators/urls.py)."""
+    return ur.filter_blocked_domains(
+        _synth_urls(spark, sf_dir), _BLOCKED
+    ).select("doc_id", "domain")
+
+
+def _url_cte(cols: str) -> str:
+    """Shared oracle CTE: synthetic url → canonical url → domain."""
+    return f"""
+WITH cu AS (
+  SELECT {cols}, {ur.canonical_url_sql(_SYNTH_URL_SQL)} AS canon_url
+  FROM documents
+),
+dom AS (
+  SELECT *, {ur.registered_domain_sql('canon_url')} AS domain FROM cu
+)"""
+
+
+def _q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term dictionary with document frequencies, Zipf head and
+    hapax tail dropped (operators/terms.py)."""
+    return tm.term_df(_docs(spark, sf_dir))
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms, engine-portable rounding and
+    tie-breaks (operators/terms.py)."""
+    return tm.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py): documents are serialized into
+    WARC/1.0 response records (deterministic builder — no timestamps)
+    and parsed back through the production record parser; the oracle
+    computes the expected parse output directly from the table, so
+    the round trip validates the parser against the spec, not against
+    itself."""
+    from pdf_parser_spark.sources import warc as wc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                (f"http://warc.test/{i}", (t or "").encode("utf-8"),
+                 "text/html")
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            if recs:
+                yield pd.DataFrame(
+                    {"path": ["mem"], "content": [wc.build_warc(recs)]}
+                )
+
+    blobs = docs.mapInPandas(build, schema="path string, content binary")
+    return wc.warc_records(blobs).where(F.col("error").isNull()).select(
+        F.regexp_extract("url", r"/([0-9]+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "url",
+        "http_status",
+        F.col("payload").cast("string").alias("text"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
 def _q_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-output shuffle assignment (part +
     sort key as pure functions of doc_id — operators/sampling.py)."""
@@ -1269,6 +1384,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_assignment": _q_shuffle_assignment,
         "mix_corpus": _q_mix_corpus,
         "strip_dup_spans": _q_strip_dup_spans,
+        "url_canonicalize": _q_url_canonicalize,
+        "domain_stats": _q_domain_stats,
+        "blocked_domains": _q_blocked_domains,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "term_df": _q_term_df,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
@@ -1753,4 +1874,28 @@ def oracle_sql() -> dict[str, str]:
             columns="d.doc_id, d.lang, d.n_chars",
         ),
         "strip_dup_spans": sp.strip_dup_spans_sql("documents", n=8),
+        "url_canonicalize": _url_cte("doc_id") + """
+SELECT doc_id, canon_url, domain, md5(canon_url) AS url_key FROM dom
+""",
+        "domain_stats": _url_cte("n_chars, lang") + """
+SELECT domain,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM dom GROUP BY domain
+""",
+        "blocked_domains": _url_cte("doc_id") + """
+SELECT doc_id, domain FROM dom
+WHERE domain NOT IN ({})
+""".format(", ".join(f"'{d}'" for d in _BLOCKED)),
+        "warc_roundtrip": """
+SELECT doc_id,
+       'http://warc.test/' || CAST(doc_id AS STRING) AS url,
+       CAST(200 AS INT) AS http_status,
+       coalesce(text, '') AS text,
+       CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
+FROM documents
+""",
+        "term_df": tm.term_df_sql("documents"),
+        "tfidf_topk": tm.tfidf_topk_sql("documents", k=5),
     }

@@ -157,6 +157,16 @@ def main() -> None:
 
     # sampling / packing / PII (map-side or few-shuffle natives)
     timed("hash_sample", lambda: entry._q_hash_sample(spark, sf_dir).count())
+    timed(
+        "url_canonicalize",
+        lambda: entry._q_url_canonicalize(spark, sf_dir).count(),
+    )
+    timed("domain_stats", lambda: entry._q_domain_stats(spark, sf_dir).count())
+    timed(
+        "warc_roundtrip",
+        lambda: entry._q_warc_roundtrip(spark, sf_dir).count(),
+    )
+    timed("tfidf_topk", lambda: entry._q_tfidf_topk(spark, sf_dir).count())
     timed("mix_corpus", lambda: entry._q_mix_corpus(spark, sf_dir).count())
     timed(
         "stratified_sample",

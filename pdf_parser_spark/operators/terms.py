@@ -1,0 +1,149 @@
+"""Corpus-level term statistics: document frequency and TF-IDF.
+
+The per-document text stats (functions/textstats.py) need no global
+state; this module adds the corpus-statistics tier — the global term
+dictionary (document frequency) and per-document TF-IDF top terms —
+used for keyword extraction, topic sketches, and as a cheap relevance
+feature in training-data curation.
+
+Scale design (100 TB):
+- Terms are Zipf-distributed, so the raw term key space is massively
+  skewed. BOTH hot directions are defused: the document-frequency
+  aggregation is a partial-combine groupBy (the `the` key arrives at
+  its reducer pre-counted per partition), and the tf↔df JOIN only
+  happens AFTER the `max_df_frac` cap drops the Zipf head — stop
+  words never cross the join.
+- `min_df` drops the hapax tail (typically >40% of the dictionary),
+  bounding the df table.
+- The per-doc top-k is a window over (doc, term) pairs that survive
+  the df filter — bounded per doc, partitioned on doc_id, with
+  WindowGroupLimit pre-pruning (row_number <= k).
+- All tokenization/aggregation is native (codegen); no Python.
+
+Cross-engine determinism: IDF uses natural log, whose last-ulp can
+differ between JVM and C libm, so scores are ROUNDED to 6 dp before
+both the ORDER BY and the output (the repo's standard double
+discipline), and ties break on the term string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tokens = lowercased letter runs of length >= 2 (no digits/punct).
+TERM_REGEX = r"[a-z]{2,}"
+
+
+def _terms(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TERM_REGEX), 0)
+
+
+TERMS_SQL = "regexp_extract_all(lower({col}), '[a-z]{{2,}}')"
+
+
+def term_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_df: int = 2, max_df_frac: float = 0.5, n_docs: int = None,
+) -> DataFrame:
+    """Document-frequency table: (term, df) for terms appearing in
+    [min_df, max_df_frac * N] documents. Distinct-per-doc is taken
+    BEFORE the term groupBy (array_distinct map-side, so a term
+    counts once per doc and the explode carries no within-doc dups).
+    """
+    if n_docs is None:
+        n_docs = df.count()
+    cap = int(max_df_frac * n_docs)
+    per_doc = df.select(
+        F.explode(F.array_distinct(_terms(F.col(text_col)))).alias("term")
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= cap))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, text_col: str = "text",
+    id_col: str = "doc_id", min_df: int = 2, max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms →
+    (doc_id, term, tf, score, rank).
+
+    score = round(tf * (ln((N+1)/(df+1)) + 1), 6) — smoothed IDF;
+    ranking orders by the ROUNDED score then term (deterministic and
+    engine-portable). Documents whose every term fell outside the df
+    band produce no rows.
+    """
+    n_docs = df.count()
+    dft = term_df(df, text_col, id_col, min_df, max_df_frac, n_docs)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(_terms(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(dft, "term").select(
+        id_col, "term", "tf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def term_df_sql(
+    table: str, text_col: str = "text", min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`term_df` (same spec, DuckDB dialect)."""
+    terms = TERMS_SQL.format(col=text_col)
+    return f"""
+SELECT term, count(*) AS df
+FROM (
+  SELECT unnest(list_distinct({terms})) AS term FROM {table}
+)
+GROUP BY term
+HAVING count(*) >= {min_df}
+   AND count(*) <= CAST({max_df_frac} * (SELECT count(*) FROM {table}) AS BIGINT)
+"""
+
+
+def tfidf_topk_sql(
+    table: str, k: int = 5, text_col: str = "text",
+    id_col: str = "doc_id", min_df: int = 2, max_df_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk`."""
+    terms = TERMS_SQL.format(col=text_col)
+    return f"""
+WITH dft AS ({term_df_sql(table, text_col, min_df, max_df_frac)}),
+tf AS (
+  SELECT {id_col}, term, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({terms}) AS term FROM {table})
+  GROUP BY {id_col}, term
+),
+scored AS (
+  SELECT t.{id_col}, t.term, t.tf,
+         round(t.tf * (ln(((SELECT count(*) FROM {table}) + 1.0)
+                          / (d.df + 1.0)) + 1.0), 6) AS score
+  FROM tf t JOIN dft d USING (term)
+)
+SELECT * FROM (
+  SELECT {id_col}, term, tf, score,
+         CAST(row_number() OVER (
+           PARTITION BY {id_col} ORDER BY score DESC, term ASC
+         ) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -1,0 +1,47 @@
+"""Corpus term statistics (operators/terms.py)."""
+
+import math
+
+from pdf_parser_spark.operators.terms import term_df, tfidf_topk
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple common"),
+            (2, "banana cherry common"),
+            (3, "cherry dates common"),
+            (4, "unique common"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_term_df_band(spark):
+    got = {r.term: r.df for r in term_df(_corpus(spark)).collect()}
+    # hapaxes (apple/dates/unique, df=1 < min_df=2) and the Zipf head
+    # (common, df=4 > 0.5*4) are both dropped
+    assert got == {"banana": 2, "cherry": 2}
+
+
+def test_tfidf_topk_scores_and_tiebreak(spark):
+    rows = tfidf_topk(_corpus(spark), k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc  # every term of doc 4 fell outside the band
+    exp = round(1 * (math.log(5.0 / 3.0) + 1.0), 6)
+    assert [(r.term, r.tf, r.score, r.rank) for r in by_doc[1]] == [
+        ("banana", 1, exp, 1)
+    ]
+    # doc 2: equal scores -> tie breaks on term asc
+    assert [(r.term, r.rank) for r in sorted(by_doc[2], key=lambda r: r.rank)] \
+        == [("banana", 1), ("cherry", 2)]
+
+
+def test_tfidf_window_is_pre_pruned(spark):
+    plan = (
+        tfidf_topk(_corpus(spark), k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -1,0 +1,88 @@
+"""URL canonicalization / domain operators (operators/urls.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.urls import (
+    canonical_url,
+    filter_blocked_domains,
+    registered_domain,
+    url_dedup_key,
+    with_url_columns,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_spec(spark):
+    got = _canon(spark, [
+        "HTTP://WWW.Foo.COM:80/Bar/?utm_source=x&b=2&a=1#frag",
+        "https://Site.CO.UK:443/p/",
+        "https://site.com:8080/x",          # non-default port kept
+        "site.com/x//",                      # schemeless passthrough
+        "http://a.com/x?utm_source=1&fbclid=2&gclid=3&ref=h",
+        "http://a.com/?z=1&y=2",
+        "  http://a.com/x  ",
+    ])
+    assert got == [
+        "http://www.foo.com/Bar?a=1&b=2",
+        "https://site.co.uk/p",
+        "https://site.com:8080/x",
+        "site.com/x",
+        "http://a.com/x",
+        "http://a.com?y=2&z=1",
+        "http://a.com/x",
+    ]
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("http://www.foo.co.uk/x",), ("http://cdn.a.b.example.com/",),
+         ("http://localhost/x",), ("http://example.com",),
+         ("https://sub.shop.com.au:8443/y",)],
+        ["url"],
+    )
+    got = [
+        r.d for r in df.select(
+            registered_domain(canonical_url(F.col("url"))).alias("d")
+        ).collect()
+    ]
+    assert got == ["foo.co.uk", "example.com", "localhost",
+                   "example.com", "shop.com.au"]
+
+
+def test_url_dedup_key_folds_variants(spark):
+    df = spark.createDataFrame(
+        [("HTTP://a.COM:80/x/?b=1&a=1#f",), ("http://A.com/x?a=1&b=1",)],
+        ["url"],
+    )
+    keys = {r.k for r in df.select(url_dedup_key(F.col("url")).alias("k")).collect()}
+    assert len(keys) == 1
+
+
+def test_blocklist_list_and_table_branches_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "http://www.BAD.com/a"), (2, "https://ok.org/b"),
+         (3, "http://cdn.bad.com/c?utm_source=x"), (4, "http://fine.co.uk/d")],
+        ["doc_id", "url"],
+    )
+    blocked = ["bad.com"]
+    via_list = filter_blocked_domains(df, blocked)
+    assert {r.doc_id for r in via_list.collect()} == {2, 4}
+    btab = spark.createDataFrame([(d,) for d in blocked], ["domain"])
+    via_table = filter_blocked_domains(df, btab)
+    assert {r.doc_id for r in via_table.collect()} == {2, 4}
+    # the anti-join side is broadcast (no shuffle of the kept rows)
+    plan = via_table._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "leftanti" in plan.lower()
+
+
+def test_with_url_columns_projection_is_narrow(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")], ["doc_id", "url"])
+    out = with_url_columns(df)
+    assert out.columns == ["doc_id", "url", "canon_url", "domain"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only

@@ -240,6 +240,32 @@ def main() -> None:
     )
 
     add(
+        "URL canonicalization + registered domain",
+        entry._q_url_canonicalize(spark, SF),
+        "Pure native column expressions (regexps + array lambdas) in "
+        "one map-only Project — no Exchange, no Python; at 10^12 rows "
+        "this is a free pass fused into whatever scan precedes it.",
+    )
+
+    add(
+        "Per-domain corpus stats",
+        entry._q_domain_stats(spark, SF),
+        "ONE partial-agg shuffle on the registered-domain key "
+        "(count/sum/distinct-lang all combine map-side); domains are "
+        "the natural pre-aggregated key for blocklists and quotas.",
+    )
+
+    add(
+        "Per-document TF-IDF top-k (corpus statistics tier)",
+        entry._q_tfidf_topk(spark, SF),
+        "Zipf-skew defusal in the plan: document frequency is a "
+        "partial-combine groupBy, the max_df band filter runs BEFORE "
+        "the tf-df join (stop words never cross it), and the per-doc "
+        "top-k window carries WindowGroupLimit pre-pruning. All "
+        "native; only (doc_id, term) pairs shuffle.",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
