@@ -250,9 +250,11 @@ def main() -> None:
     add(
         "Per-domain corpus stats",
         entry._q_domain_stats(spark, SF),
-        "ONE partial-agg shuffle on the registered-domain key "
-        "(count/sum/distinct-lang all combine map-side); domains are "
-        "the natural pre-aggregated key for blocklists and quotas.",
+        "Two-phase distinct aggregation: partial agg on (domain, lang) "
+        "before the first Exchange (map-side combine eats the per-domain "
+        "row mass), then the final agg on domain; count/sum piggyback on "
+        "the same passes. Domains are the natural pre-aggregated key "
+        "for blocklists and quotas.",
     )
 
     add(
