@@ -37,6 +37,7 @@ from pdf_parser_spark.functions.chunk import make_chunk_udf
 from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
+from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
 from pdf_parser_spark.operators import packing as pk
 from pdf_parser_spark.operators import sampling as smp
@@ -1307,6 +1308,141 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- link-graph tier
+# Synthetic fixtures shared VERBATIM by both engines (pure functions
+# of doc_id — no url/html columns exist in the test tables). The
+# Spark queries run the REAL parser / resolver / canonicalizer over
+# the constructed pages; the DuckDB twins compute the expected output
+# arithmetically from doc_id (no parsing) — so the oracle validates
+# the implementations against the spec, not against themselves.
+
+#: page URL: per-doc host (23 sites) + a /dir/ path segment so both
+#: root-relative and relative href resolution are exercised.
+_PAGE_URL_SQL = (
+    "concat('https://site-', CAST(doc_id % 23 AS STRING), "
+    "'.test/dir/page-', CAST(doc_id AS STRING))"
+)
+
+#: page HTML: title, conditional robots/description metas, canonical
+#: link, one absolute + one root-relative + one relative anchor, a
+#: conditional nofollow anchor, and three non-crawlable hrefs
+#: (javascript:, fragment-only, mailto:) that must be dropped.
+_PAGE_HTML_SQL = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+    "'</title>', "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'<meta name=\"robots\" content=\"noindex, nofollow\">' "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN '' ELSE "
+    "concat('<meta name=\"description\" content=\"About ', "
+    "CAST(doc_id % 17 AS STRING), '\">') END, "
+    "'<link rel=\"canonical\" href=\"/canon/', CAST(doc_id AS STRING), "
+    "'\">', "
+    "'</head><body><p><a href=\"https://Hub-', "
+    "CAST(doc_id % 7 AS STRING), "
+    "'.Example.COM:443/h?b=2&a=1\">hub ', CAST(doc_id % 5 AS STRING), "
+    "'</a></p>', "
+    "'<a href=\"/p/', CAST((doc_id + 1) % 97 AS STRING), "
+    "'\">next page link</a>', "
+    "'<a href=\"rel/', CAST(doc_id % 3 AS STRING), '\">relative</a>', "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<a rel=\"nofollow\" href=\"/sponsored\">ad</a>' ELSE '' END, "
+    "'<a href=\"javascript:void(0)\">js</a><a href=\"#top\">top</a>"
+    "<a href=\"mailto:x@y.z\">mail</a></body></html>')"
+)
+
+#: arithmetic edge fixture for PageRank: dst ids folded into [0, 97)
+#: (a few hub nodes with high in-degree — skewed like a real link
+#: graph); docs ending in 9 emit no links, so dst ids ending in 9
+#: below 97 are DANGLING nodes (exercise the dangling-mass term).
+_EDGE_BRANCHES = (
+    ("(doc_id * 7 + 3) % 97", "doc_id % 10 <> 9"),
+    ("(doc_id * 13 + 5) % 97", "doc_id % 10 <> 9"),
+    ("(doc_id * 29 + 11) % 97", "doc_id % 10 <> 9 AND doc_id % 4 <> 0"),
+)
+
+#: messy raw-link fixture for the canonical edge-table query.
+_LINK_SRC_SQL = (
+    "concat('HTTP://A-', CAST(doc_id % 3 AS STRING), '.Test:80/p/', "
+    "CAST(doc_id % 11 AS STRING), '/')"
+)
+_LINK_DST_SQL = (
+    "concat('https://B-', CAST(doc_id % 5 AS STRING), "
+    "'.test:443/x?utm_source=q&z=1&a=2')"
+)
+
+
+def _synth_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.expr(_PAGE_URL_SQL).alias("url"),
+        F.encode(F.expr(_PAGE_HTML_SQL), "utf-8").alias("html"),
+    )
+
+
+def _synth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    parts = [
+        d.where(F.expr(cond)).selectExpr(
+            "CAST(doc_id AS BIGINT) AS src", f"CAST({e} AS BIGINT) AS dst"
+        )
+        for e, cond in _EDGE_BRANCHES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _edges_fixture_sql(table: str = "documents") -> str:
+    return " UNION ALL ".join(
+        f"SELECT CAST(doc_id AS BIGINT) AS src, "
+        f"CAST({e} AS BIGINT) AS dst FROM {table} WHERE {cond}"
+        for e, cond in _EDGE_BRANCHES
+    )
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: real HTML parse + RFC-3986 resolution over
+    synthetic pages (operators/graph.py, html/links.py)."""
+    return gr.extract_links(_synth_link_pages(spark, sf_dir))
+
+
+def _q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head metadata: title / description / resolved canonical /
+    robots flags / crawlable-outlink count (operators/graph.py)."""
+    return gr.page_metadata(_synth_link_pages(spark, sf_dir))
+
+
+def _q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical follow-edge table: endpoints canonicalized, nofollow
+    + self-links dropped, ONE distinct shuffle (operators/graph.py)."""
+    links = _docs(spark, sf_dir).selectExpr(
+        f"{_LINK_SRC_SQL} AS src",
+        f"{_LINK_DST_SQL} AS dst",
+        "doc_id % 4 = 0 AS nofollow",
+    )
+    return gr.link_edges(links)
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank with dangling-mass redistribution, 3 rounds of
+    iterated DataFrame joins; DuckDB twin unrolls the rounds as CTEs
+    (operators/graph.py)."""
+    return gr.pagerank(_synth_edges(spark, sf_dir), iters=3)
+
+
+def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target top-3 anchor texts, deterministic tie-breaks,
+    WindowGroupLimit pre-pruned (operators/graph.py)."""
+    links = _docs(spark, sf_dir).selectExpr(
+        "'s' AS src",
+        "concat('http://T-', CAST(doc_id % 5 AS STRING), '.test:80/') AS dst",
+        "concat('anchor-', CAST(doc_id % 7 AS STRING)) AS anchor",
+        "false AS nofollow",
+    )
+    return gr.anchor_topk(links, k=3)
+
+
 def _q_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-output shuffle assignment (part +
     sort key as pure functions of doc_id — operators/sampling.py)."""
@@ -1390,6 +1526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "term_df": _q_term_df,
         "tfidf_topk": _q_tfidf_topk,
+        "extract_links": _q_extract_links,
+        "page_metadata": _q_page_metadata,
+        "link_edges": _q_link_edges,
+        "pagerank": _q_pagerank,
+        "anchor_topk": _q_anchor_topk,
     }
 
 
@@ -1898,4 +2039,82 @@ FROM documents
 """,
         "term_df": tm.term_df_sql("documents"),
         "tfidf_topk": tm.tfidf_topk_sql("documents", k=5),
+        # link-graph twins: expected parser output computed
+        # ARITHMETICALLY from doc_id (no HTML parse in the oracle) —
+        # validates parse + resolve against the spec, not itself.
+        "extract_links": f"""
+WITH p AS (SELECT doc_id, {_PAGE_URL_SQL} AS url FROM documents)
+SELECT url AS src,
+       concat('https://Hub-', CAST(doc_id % 7 AS STRING),
+              '.Example.COM:443/h?b=2&a=1') AS dst,
+       concat('hub ', CAST(doc_id % 5 AS STRING)) AS anchor,
+       FALSE AS nofollow
+FROM p
+UNION ALL
+SELECT url,
+       concat('https://site-', CAST(doc_id % 23 AS STRING), '.test/p/',
+              CAST((doc_id + 1) % 97 AS STRING)),
+       'next page link', FALSE
+FROM p
+UNION ALL
+SELECT url,
+       concat('https://site-', CAST(doc_id % 23 AS STRING),
+              '.test/dir/rel/', CAST(doc_id % 3 AS STRING)),
+       'relative', FALSE
+FROM p
+UNION ALL
+SELECT url,
+       concat('https://site-', CAST(doc_id % 23 AS STRING),
+              '.test/sponsored'),
+       'ad', TRUE
+FROM p WHERE doc_id % 3 = 0
+""",
+        "page_metadata": f"""
+SELECT {_PAGE_URL_SQL} AS url,
+       concat('Doc ', CAST(doc_id AS STRING)) AS title,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE concat('About ', CAST(doc_id % 17 AS STRING))
+       END AS description,
+       concat('https://site-', CAST(doc_id % 23 AS STRING),
+              '.test/canon/', CAST(doc_id AS STRING)) AS canonical,
+       doc_id % 11 = 0 AS robots_noindex,
+       doc_id % 11 = 0 AS robots_nofollow,
+       CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_links
+FROM documents
+""",
+        "link_edges": f"""
+WITH raw AS (
+  SELECT {_LINK_SRC_SQL} AS s, {_LINK_DST_SQL} AS d
+  FROM documents WHERE doc_id % 4 <> 0
+),
+c AS (
+  SELECT {ur.canonical_url_sql('s')} AS src,
+         {ur.canonical_url_sql('d')} AS dst
+  FROM raw
+)
+SELECT DISTINCT src, dst FROM c WHERE src <> dst
+""",
+        "pagerank": gr.pagerank_sql(_edges_fixture_sql(), iters=3),
+        "anchor_topk": f"""
+WITH a AS (
+  SELECT concat('http://T-', CAST(doc_id % 5 AS STRING),
+                '.test:80/') AS dstraw,
+         concat('anchor-', CAST(doc_id % 7 AS STRING)) AS anchor
+  FROM documents
+),
+c AS (
+  SELECT dst, anchor, count(*) AS n
+  FROM (SELECT {ur.canonical_url_sql('dstraw')} AS dst, anchor FROM a)
+  GROUP BY dst, anchor
+),
+r AS (
+  SELECT dst, anchor, n,
+         CAST(row_number() OVER
+              (PARTITION BY dst ORDER BY n DESC, anchor ASC) AS INT)
+           AS pos
+  FROM c
+)
+SELECT dst, anchor, n, pos FROM r WHERE pos <= 3
+""",
     }

@@ -167,6 +167,13 @@ def main() -> None:
         lambda: entry._q_warc_roundtrip(spark, sf_dir).count(),
     )
     timed("tfidf_topk", lambda: entry._q_tfidf_topk(spark, sf_dir).count())
+
+    # link-graph tier (parse fan-out + iterated-join PageRank)
+    timed(
+        "extract_links",
+        lambda: entry._q_extract_links(spark, sf_dir).count(),
+    )
+    timed("pagerank", lambda: entry._q_pagerank(spark, sf_dir).count())
     timed("mix_corpus", lambda: entry._q_mix_corpus(spark, sf_dir).count())
     timed(
         "stratified_sample",

@@ -1,0 +1,255 @@
+"""Crawl link graph: outlink extraction, edge table, PageRank,
+anchor-text harvest.
+
+Reference parity: none — the reference (`src/pdf_processor.py`) is a
+per-request parser with no crawl tier. These operators supply the
+graph-side quality signals a Common-Crawl-scale training-data
+pipeline keys on publicly (link-based page quality, anchor-text
+relevance, indexability filtering), built Spark-first:
+
+- `extract_links` / `page_metadata`: Arrow-batched `mapInPandas`
+  over the pages table — the parse is per-page Python (stdlib
+  HTMLParser, `html/links.py`), the honest slow path shared with
+  text extraction; payload bytes never shuffle (both run map-only
+  on whatever partitioning the scan gives).
+- `link_edges`: native projection composing the URL canonicalizer
+  (`operators/urls.py`) — dedup at canonical-URL level, nofollow and
+  self-links dropped; ONE distinct shuffle on (src, dst) strings.
+- `pagerank`: damped PageRank with dangling-mass redistribution,
+  iterated DataFrame joins (the `dedup_clusters` discipline:
+  persisted edges, `localCheckpoint` per round so lineage stays
+  flat). Each round = one join-side shuffle on src + one groupBy
+  shuffle on dst + two 1-row aggregates broadcast back in-plan —
+  no driver-side collect. Fixed iteration count so the DuckDB
+  oracle can unroll rounds as CTEs (the Lloyd-kmeans pattern).
+- `anchor_topk`: per-target top-k anchor texts; the rank filter is
+  `row_number <= k` so Spark plans WindowGroupLimit (per-partition
+  pre-prune before the Exchange).
+
+Scale notes (10^12 edges): everything shuffles only URL strings /
+8-byte ranks, never page bytes; PageRank's per-round cost is two
+shuffles on the edge table — the canonical Pregel-on-DataFrames
+shape; at real scale you'd bucket the edge table by src once and
+reuse the layout across rounds (same plan, co-located joins).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..html.links import parse_page_links, resolve_href
+from . import urls as ur
+
+LINKS_SCHEMA = "src string, dst string, anchor string, nofollow boolean"
+
+META_SCHEMA = (
+    "url string, title string, description string, canonical string, "
+    "robots_noindex boolean, robots_nofollow boolean, n_links int"
+)
+
+
+def _page_text(payload) -> str:
+    if payload is None:
+        return ""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload).decode("utf-8", errors="replace")
+    return str(payload)
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Pages → one row per crawlable outlink: (src, dst, anchor,
+    nofollow) with dst RFC-3986-resolved against the page URL (and
+    its ``<base href>`` when present). Map-only; malformed HTML
+    salvages, it never drops the page's other links."""
+    cols = pages.select(F.col(url_col).alias("u"), F.col(html_col).alias("h"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"src": [], "dst": [], "anchor": [], "nofollow": []}
+            for u, h in zip(b["u"], b["h"]):
+                page = parse_page_links(_page_text(h))
+                for lk in page.links:
+                    dst = resolve_href(u or "", lk.href, page.base)
+                    if dst is None:
+                        continue
+                    out["src"].append(u)
+                    out["dst"].append(dst)
+                    out["anchor"].append(lk.anchor)
+                    out["nofollow"].append(lk.nofollow)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(gen, schema=LINKS_SCHEMA)
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Pages → head metadata: title, meta description, resolved
+    canonical link, robots noindex/nofollow flags, crawlable-outlink
+    count. Map-only, same parser pass as `extract_links`."""
+    cols = pages.select(F.col(url_col).alias("u"), F.col(html_col).alias("h"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for u, h in zip(b["u"], b["h"]):
+                p = parse_page_links(_page_text(h))
+                n = sum(
+                    1 for lk in p.links
+                    if resolve_href(u or "", lk.href, p.base) is not None
+                )
+                canon = (
+                    resolve_href(u or "", p.canonical, p.base)
+                    if p.canonical else None
+                )
+                rows.append((u, p.title, p.description, canon,
+                             p.robots_noindex, p.robots_nofollow, n))
+            yield pd.DataFrame(rows, columns=[
+                "url", "title", "description", "canonical",
+                "robots_noindex", "robots_nofollow", "n_links",
+            ])
+
+    return cols.mapInPandas(gen, schema=META_SCHEMA)
+
+
+def link_edges(links: DataFrame, src_col: str = "src",
+               dst_col: str = "dst") -> DataFrame:
+    """Outlinks → canonical follow-edge table: both endpoints
+    canonicalized (operators/urls.py), nofollow links and canonical
+    self-links dropped, exact duplicates removed. ONE distinct
+    shuffle on the (src, dst) pair."""
+    e = links
+    if "nofollow" in e.columns:
+        e = e.where(~F.col("nofollow"))
+    e = e.select(
+        ur.canonical_url(F.col(src_col)).alias("src"),
+        ur.canonical_url(F.col(dst_col)).alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank(edges: DataFrame, src_col: str = "src",
+             dst_col: str = "dst", iters: int = 3,
+             damping: float = 0.85) -> DataFrame:
+    """Damped PageRank over a directed edge table → (id, rank).
+
+    Standard formulation: ranks start uniform 1/N; each round every
+    node gets ``(1-d)/N + d * (sum of in-neighbor rank/out_degree +
+    dangling_mass/N)`` where dangling_mass is the total rank parked
+    on nodes with no out-edges (redistributed uniformly, so ranks
+    sum to 1 every round). Fixed ``iters`` (deterministic schedule →
+    CTE-unrollable oracle, `pagerank_sql`); rank rounded to 6 dp at
+    the END only, so cross-engine float noise (~1e-15 per round)
+    stays far below the output grain.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )  # registered-cache-free: released by caller or app end; edges
+    #    are read 2x per round — persisting is the point of the loop
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))  # 1 row
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+        )
+        dangling = ranks.join(
+            deg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))  # 1 row
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # flat lineage; one round materialized
+        )
+    out = ranks.select("id", F.round("rank", 6).alias("rank"))
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_sql(edges_sql: str, iters: int = 3,
+                 damping: float = 0.85) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed iteration schedule
+    unrolled as CTEs (the Lloyd-kmeans oracle pattern), one
+    contrib/dangling/rank triple per round. ``edges_sql`` is a query
+    producing (src, dst)."""
+    # CAST keeps every literal in DOUBLE space — DuckDB decimal
+    # literals would otherwise produce DECIMAL arithmetic that drifts
+    # from Spark's IEEE doubles at the hash grain.
+    d = f"CAST({damping!r} AS DOUBLE)"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od"
+        " FROM e GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.rank / d.od) AS c FROM e"
+            f" JOIN {p} r ON e.src = r.id JOIN deg d ON e.src = d.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dmass FROM {p}"
+            f" WHERE id NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.id,"
+            f" (1.0 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * (coalesce(c.c, 0.0)"
+            f" + (SELECT dmass FROM d{i}) / (SELECT n FROM nn)) AS rank"
+            f" FROM nodes LEFT JOIN c{i} c ON nodes.id = c.id)"
+        )
+    parts_sql = ",\n".join(parts)
+    return f"{parts_sql}\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+
+
+def anchor_topk(links: DataFrame, k: int = 3,
+                dst_col: str = "dst") -> DataFrame:
+    """Per-target top-k anchor texts by frequency → (dst, anchor,
+    n, pos). Targets canonicalized; empty anchors dropped; ties
+    broken bytewise on anchor so the ranking is deterministic across
+    engines. The `row_number <= k` filter plans WindowGroupLimit
+    (per-partition pre-prune before the Exchange)."""
+    a = links.select(
+        ur.canonical_url(F.col(dst_col)).alias("dst"),
+        F.col("anchor"),
+    ).where(F.col("anchor") != "")
+    counts = a.groupBy("dst", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+    )

@@ -1,0 +1,152 @@
+"""Link graph tier: parser spec (html/links.py), Spark operators
+(operators/graph.py), PageRank vs an independent numpy fixpoint."""
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark.html.links import parse_page_links, resolve_href
+from pdf_parser_spark.operators.graph import (
+    anchor_topk,
+    extract_links,
+    link_edges,
+    page_metadata,
+    pagerank,
+)
+
+PAGE = """
+<html><head><title> My   Page </title>
+<meta name="robots" content="NOINDEX, nofollow">
+<meta name="description" content="a test page">
+<link rel="canonical" href="/canon">
+<base href="/dir/">
+</head><body>
+<p><a href="https://other.test/x" rel="NOFOLLOW sponsored">Ext  link</a></p>
+<a href="sub/page">rel link</a>
+<a href="/root">root</a>
+<a href="#frag">frag only</a>
+<a href="javascript:void(0)">js</a>
+<a href="mailto:a@b.c">mail</a>
+<a href="">empty</a>
+<a href="//proto.test/p">proto-rel</a>
+<a href="nested1"><b>bold <a href="nested2">inner</a></b></a>
+</body></html>
+"""
+
+
+def test_parse_page_links_fields():
+    p = parse_page_links(PAGE)
+    assert p.title == "My Page"
+    assert p.description == "a test page"
+    assert p.canonical == "/canon"
+    assert p.robots_noindex and p.robots_nofollow
+    assert p.base == "/dir/"
+    hrefs = [lk.href for lk in p.links]
+    # empty href dropped at parse; nested <a> splits like browsers
+    assert "nested1" in hrefs and "nested2" in hrefs
+    assert "" not in hrefs
+    by_href = {lk.href: lk for lk in p.links}
+    assert by_href["https://other.test/x"].nofollow
+    assert by_href["https://other.test/x"].anchor == "Ext link"
+    assert not by_href["sub/page"].nofollow
+
+
+def test_parse_malformed_salvages():
+    p = parse_page_links('<a href="/ok">text</a><b <<<broken')
+    assert [lk.href for lk in p.links] == ["/ok"]
+
+
+def test_resolve_href_spec():
+    u = "https://site.test/dir/page"
+    assert resolve_href(u, "https://abs.test/x") == "https://abs.test/x"
+    assert resolve_href(u, "/root") == "https://site.test/root"
+    assert resolve_href(u, "sub/x") == "https://site.test/dir/sub/x"
+    assert resolve_href(u, "//proto.test/p") == "https://proto.test/p"
+    # <base href> wins, itself resolved against the page URL
+    assert resolve_href(u, "sub/x", "/b/") == "https://site.test/b/sub/x"
+    for bad in ("", "  ", "#frag", "javascript:void(0)", "MAILTO:a@b",
+                "tel:123", "data:text/plain,x", "about:blank"):
+        assert resolve_href(u, bad) is None
+
+
+def test_extract_links_and_metadata(spark):
+    pages = spark.createDataFrame(
+        [("https://site.test/dir/page", bytearray(PAGE.encode()))],
+        "url string, html binary",
+    )
+    links = {r.dst: r for r in extract_links(pages).collect()}
+    assert set(links) == {
+        "https://other.test/x",
+        "https://site.test/dir/sub/page",
+        "https://site.test/root",
+        "https://proto.test/p",
+        "https://site.test/dir/nested1",
+        "https://site.test/dir/nested2",
+    }
+    assert links["https://other.test/x"].nofollow
+
+    (m,) = page_metadata(pages).collect()
+    assert m.title == "My Page"
+    assert m.canonical == "https://site.test/canon"
+    assert m.robots_noindex and m.robots_nofollow
+    assert m.n_links == 6
+
+
+def test_link_edges_canonical_dedup(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.test/p/", "http://B.test:80/x?utm_source=z", False),
+            ("http://a.test/p", "http://b.test/x", False),   # same canon
+            ("http://a.test/p", "http://a.test/p/", False),  # self
+            ("http://a.test/p", "http://c.test/y", True),    # nofollow
+        ],
+        "src string, dst string, nofollow boolean",
+    )
+    rows = link_edges(links).collect()
+    assert [(r.src, r.dst) for r in rows] == [
+        ("http://a.test/p", "http://b.test/x")
+    ]
+
+
+def _np_pagerank(edges, iters, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, t in edges:
+            nxt[idx[t]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (nxt + dangling / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_numpy_and_sums_to_one(spark, iters):
+    # c is dangling (no out-edges); b is a hub
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "b"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.rank for r in pagerank(df, iters=iters).collect()}
+    want = _np_pagerank(edges, iters)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-6, u
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_anchor_topk_deterministic_ties(spark):
+    links = spark.createDataFrame(
+        [("s", "http://t.test/", "beta", False),
+         ("s", "http://t.test/", "alpha", False),
+         ("s", "http://t.test/", "alpha", False),
+         ("s", "http://t.test/", "gamma", False),
+         ("s", "http://t.test/", "", False)],
+        "src string, dst string, anchor string, nofollow boolean",
+    )
+    rows = anchor_topk(links, k=2).collect()
+    assert [(r.anchor, r.n, r.pos) for r in rows] == [
+        ("alpha", 2, 1), ("beta", 1, 2)  # beta < gamma bytewise at n=1
+    ]

@@ -268,6 +268,35 @@ def main() -> None:
     )
 
     add(
+        "Outlink extraction (link-graph tier)",
+        entry._q_extract_links(spark, SF),
+        "ONE map-only MapInPandas over the pages scan — the HTML "
+        "parse + RFC-3986 resolution is per-page Python (the honest "
+        "slow path, same shape as text extraction); page bytes never "
+        "shuffle, only the emitted (src, dst, anchor) strings flow on.",
+    )
+
+    add(
+        "PageRank (3 rounds, dangling-mass redistribution)",
+        entry._q_pagerank(spark, SF),
+        "Pregel-on-DataFrames: per round ONE join shuffle on src + "
+        "ONE groupBy shuffle on dst over the persisted edge table, "
+        "plus two 1-row aggregates broadcast back in-plan (no driver "
+        "collect). localCheckpoint keeps lineage flat, so the plan "
+        "below shows only the LAST round — by design. At real scale "
+        "the edge table is bucketed by src once and every round "
+        "reuses the layout.",
+    )
+
+    add(
+        "Per-target anchor-text top-k",
+        entry._q_anchor_topk(spark, SF),
+        "groupBy count then window top-k as row_number <= k — Spark "
+        "plans WindowGroupLimit (per-partition pre-prune before the "
+        "Exchange), so the anchor long tail is cut map-side.",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
