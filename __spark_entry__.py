@@ -1308,6 +1308,83 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- CDX index / SURT tier
+
+#: synthetic CDXJ line, a pure function of doc_id: coarse surt (35
+#: keys → real groups for the latest-capture window), per-minute
+#: timestamps (ties exercised), ~1/9 non-200 captures, 7 WARC files.
+#: Spark parses the LINE with the production parser; the DuckDB twins
+#: reconstruct the expected fields arithmetically (no parsing).
+_CDX_LINE_SQL = (
+    "concat('com,site', CAST(doc_id % 7 AS STRING), ')/page/', "
+    "CAST(doc_id % 5 AS STRING), "
+    "' 2024010100', lpad(CAST(doc_id % 60 AS STRING), 2, '0'), '00 ', "
+    "'{\"url\": \"https://site', CAST(doc_id % 7 AS STRING), "
+    "'.com/page/', CAST(doc_id % 5 AS STRING), "
+    "'\", \"mime\": \"text/html\", \"status\": \"', "
+    "CASE WHEN doc_id % 9 = 0 THEN '404' ELSE '200' END, "
+    "'\", \"digest\": \"sha1:', CAST(doc_id AS STRING), "
+    "'\", \"length\": \"', CAST(100 + doc_id % 900 AS STRING), "
+    "'\", \"offset\": \"', CAST(doc_id * 1000 AS STRING), "
+    "'\", \"filename\": \"seg-', CAST(doc_id % 7 AS STRING), "
+    "'.warc.gz\"}')"
+)
+
+#: the arithmetic reconstruction the CDX twins select from (DuckDB;
+#: 1704067200 = epoch of 2024-01-01T00:00:00Z, minutes = doc_id % 60).
+_CDX_FIELDS_SQL = """
+SELECT concat('com,site', CAST(doc_id % 7 AS STRING), ')/page/',
+              CAST(doc_id % 5 AS STRING)) AS surt,
+       CAST(1704067200 + 60 * (doc_id % 60) AS BIGINT) AS fetch_unix,
+       concat('https://site', CAST(doc_id % 7 AS STRING), '.com/page/',
+              CAST(doc_id % 5 AS STRING)) AS url,
+       'text/html' AS mime,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS INT)
+         AS status,
+       CAST(100 + doc_id % 900 AS BIGINT) AS "length",
+       CAST(doc_id * 1000 AS BIGINT) AS "offset",
+       concat('seg-', CAST(doc_id % 7 AS STRING), '.warc.gz') AS filename
+FROM documents
+"""
+
+
+def _synth_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.sources import cdx
+
+    lines = _docs(spark, sf_dir).select(F.expr(_CDX_LINE_SQL).alias("line"))
+    return cdx.parse_cdx(lines)
+
+
+def _q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index scan: native split + from_json over synthetic
+    capture lines (sources/cdx.py)."""
+    return _synth_cdx(spark, sf_dir)
+
+
+def _q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WARC-file fetch plan: one partial-agg shuffle on filename
+    (sources/cdx.py)."""
+    from pdf_parser_spark.sources import cdx
+
+    return cdx.fetch_plan(_synth_cdx(spark, sf_dir))
+
+
+def _q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest 200 capture per surt — WindowGroupLimit-pre-pruned
+    window, deterministic tie-breaks (sources/cdx.py)."""
+    from pdf_parser_spark.sources import cdx
+
+    return cdx.latest_capture(_synth_cdx(spark, sf_dir))
+
+
+def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys over the messy-URL fixture — map-only native
+    expression (operators/urls.py)."""
+    return _synth_urls(spark, sf_dir).select(
+        "doc_id", ur.surt_key(F.col("url")).alias("surt")
+    )
+
+
 # -------------------------------------------------- link-graph tier
 # Synthetic fixtures shared VERBATIM by both engines (pure functions
 # of doc_id — no url/html columns exist in the test tables). The
@@ -1526,6 +1603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "term_df": _q_term_df,
         "tfidf_topk": _q_tfidf_topk,
+        "cdx_parse": _q_cdx_parse,
+        "cdx_fetch_plan": _q_cdx_fetch_plan,
+        "cdx_latest": _q_cdx_latest,
+        "surt_keys": _q_surt_keys,
         "extract_links": _q_extract_links,
         "page_metadata": _q_page_metadata,
         "link_edges": _q_link_edges,
@@ -2039,6 +2120,32 @@ FROM documents
 """,
         "term_df": tm.term_df_sql("documents"),
         "tfidf_topk": tm.tfidf_topk_sql("documents", k=5),
+        # CDX twins select from the arithmetic field reconstruction —
+        # the Spark side parses the LINE with the production parser.
+        "cdx_parse": _CDX_FIELDS_SQL,
+        "cdx_fetch_plan": f"""
+WITH c AS ({_CDX_FIELDS_SQL})
+SELECT filename,
+       count(*) AS n_records,
+       min("offset") AS min_offset,
+       max("offset" + "length") AS end_offset,
+       CAST(sum("length") AS BIGINT) AS total_bytes
+FROM c WHERE status = 200 GROUP BY filename
+""",
+        "cdx_latest": f"""
+WITH c AS ({_CDX_FIELDS_SQL}),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY surt
+    ORDER BY fetch_unix DESC, filename ASC, "offset" ASC) AS pos
+  FROM c WHERE status = 200
+)
+SELECT surt, fetch_unix, url, mime, status, "length", "offset", filename
+FROM r WHERE pos = 1
+""",
+        "surt_keys": f"""
+SELECT doc_id, {ur.surt_key_sql(_SYNTH_URL_SQL)} AS surt FROM documents
+""",
         # link-graph twins: expected parser output computed
         # ARITHMETICALLY from doc_id (no HTML parse in the oracle) —
         # validates parse + resolve against the spec, not itself.

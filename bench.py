@@ -174,6 +174,7 @@ def main() -> None:
         lambda: entry._q_extract_links(spark, sf_dir).count(),
     )
     timed("pagerank", lambda: entry._q_pagerank(spark, sf_dir).count())
+    timed("cdx_latest", lambda: entry._q_cdx_latest(spark, sf_dir).count())
     timed("mix_corpus", lambda: entry._q_mix_corpus(spark, sf_dir).count())
     timed(
         "stratified_sample",

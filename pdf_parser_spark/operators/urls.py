@@ -193,6 +193,43 @@ def url_dedup_key_sql(col: str) -> str:
     return f"md5({canonical_url_sql(col)})"
 
 
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL —
+    the key Common Crawl's CDX index sorts by, so one range-partition
+    co-locates a whole domain subtree. Spec here (simplified from the
+    public webarchive-commons SURT): canonicalize (module spec), take
+    ``host[:port]`` minus one leading ``www.``, reverse the dot-split
+    labels and join with commas, then append ``)`` + the canonical
+    path-and-query, all lowercased. Native expression, map-only."""
+    c = canonical_url(col)
+    prefix = F.regexp_extract(c, r"^([a-z][a-z0-9+.\-]*://[^/]*)", 1)
+    host = F.regexp_replace(
+        F.regexp_extract(c, r"^[a-z][a-z0-9+.\-]*://([^/]*)", 1),
+        r"^www\.", "",
+    )
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.lower(
+        F.concat(rev, F.lit(")"), F.substr(c, F.length(prefix) + 1))
+    )
+
+
+def surt_key_sql(col: str) -> str:
+    """DuckDB twin of :func:`surt_key`."""
+    c = canonical_url_sql(col)
+    return f"""(
+  SELECT lower(concat(
+    array_to_string(list_reverse(string_split(
+      regexp_replace(coalesce(regexp_extract(c,
+        '^[a-z][a-z0-9+.\\-]*://([^/]*)', 1), ''), '^www\\.', ''),
+      '.')), ','),
+    ')',
+    substr(c, length(coalesce(regexp_extract(c,
+      '^([a-z][a-z0-9+.\\-]*://[^/]*)', 1), '')) + 1)
+  ))
+  FROM (SELECT {c} AS c)
+)"""
+
+
 def domain_stats(
     df: DataFrame, url_col: str = "url",
     chars_col: str = "n_chars", lang_col: str = "lang",

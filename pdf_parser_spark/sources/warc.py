@@ -182,6 +182,42 @@ def warc_pages(
     ).select(F.col("url"), F.col("payload").alias("html"))
 
 
+def wet_text(
+    blobs: DataFrame, bytes_col: str = "content", path_col: str = "path",
+) -> DataFrame:
+    """WET segments → ``(url, text)``. WET is Common Crawl's
+    pre-extracted-text sibling of WARC: same WARC/1.0 framing, but
+    records are ``WARC-Type: conversion`` with a bare ``text/plain``
+    payload (no HTTP envelope). Pipelines that trust CC's own
+    extraction start here and skip the HTML parse entirely."""
+    from pyspark.sql import functions as F
+
+    recs = warc_records(blobs, bytes_col, path_col)
+    return recs.where(
+        (F.col("warc_type") == "conversion") & F.col("url").isNotNull()
+    ).select(
+        F.col("url"),
+        F.decode(F.col("payload"), "utf-8").alias("text"),
+    )
+
+
+def build_wet(records: list) -> bytes:
+    """Serialize (url, text) pairs into one WET segment (conversion
+    records, text/plain payloads). Deterministic fixture writer."""
+    out = []
+    for url, text in records:
+        body = text.encode("utf-8")
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode("latin-1") + b"\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        out.append(hdr + body + b"\r\n\r\n")
+    return b"".join(out)
+
+
 def build_warc(records: list) -> bytes:
     """Serialize (url, body, content_type) triples into one WARC/1.0
     segment (response records with an HTTP/1.1 200 envelope) — the

@@ -86,3 +86,16 @@ def test_with_url_columns_projection_is_narrow(spark):
     assert out.columns == ["doc_id", "url", "canon_url", "domain"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
+
+
+def test_surt_key(spark):
+    from pdf_parser_spark.operators.urls import surt_key
+
+    df = spark.createDataFrame(
+        [("HTTP://WWW.News.Example.CO.UK:80/A/B/?utm_source=x&b=2#f",),
+         ("https://sub.site.com/",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+    # canonicalization folds trailing slashes, so a root path is empty
+    assert got == ["uk,co,example,news)/a/b?b=2", "com,site,sub)"]

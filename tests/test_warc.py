@@ -5,10 +5,12 @@ import gzip
 
 from pdf_parser_spark.sources.warc import (
     build_warc,
+    build_wet,
     gunzip_members,
     parse_warc_bytes,
     warc_pages,
     warc_records,
+    wet_text,
 )
 
 RECS = [
@@ -76,3 +78,23 @@ def test_warc_records_and_pages_to_extraction(spark):
     docs = {r.url: r for r in extract_documents(pages).collect()}
     assert "Hello parser" in docs["http://a.test/1"].text
     assert docs["http://a.test/1"].error is None
+
+
+def test_wet_conversion_records(spark):
+    wet = build_wet([("http://a.test/1", "pre-extracted text ünïcode"),
+                     ("http://a.test/2", "")])
+    # per-member gzip, as Common Crawl ships WET
+    blob = b"".join(
+        gzip.compress(build_wet([r]))
+        for r in [("http://a.test/1", "pre-extracted text ünïcode"),
+                  ("http://a.test/2", "")]
+    )
+    for payload in (wet, blob):
+        blobs = spark.createDataFrame(
+            [("seg.wet", bytearray(payload))], "path string, content binary"
+        )
+        rows = {r.url: r.text for r in wet_text(blobs).collect()}
+        assert rows == {"http://a.test/1": "pre-extracted text ünïcode",
+                        "http://a.test/2": ""}
+        # conversion records are NOT pages (no HTTP envelope / response)
+        assert warc_pages(blobs).count() == 0

@@ -268,6 +268,16 @@ def main() -> None:
     )
 
     add(
+        "CDX latest-capture per surt",
+        entry._q_cdx_latest(spark, SF),
+        "The index-side dedup a re-fetch job runs before touching any "
+        "payload: native line parse (split + from_json, codegen) then "
+        "row_number = 1 per surt — WindowGroupLimit pre-prunes each "
+        "map partition to its per-surt best before the Exchange, so "
+        "only ~one row per key crosses the shuffle.",
+    )
+
+    add(
         "Outlink extraction (link-graph tier)",
         entry._q_extract_links(spark, SF),
         "ONE map-only MapInPandas over the pages scan — the HTML "
