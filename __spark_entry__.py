@@ -1385,6 +1385,133 @@ def _q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- curation pipeline
+# End-to-end fate fixture: urls/texts/errors as pure functions of
+# doc_id, designed so every curation stage fires — per 10-doc group:
+# classes 1/2 are canonical-url variants of class 0 (url_dup), class 4
+# repeats class 3's text (exact_dup), class 6 is class 5's text + one
+# word (near_dup), class 7 fails the quality gate, class 8 carries an
+# extraction error. Texts are 20-word walks over a 22-slot
+# alphabet-window vocabulary with a PER-CLASS STRIDE (coprime to 22):
+# two different strides can never agree on 5 consecutive words, so no
+# unintended within-group shingle overlap exists; every word carries
+# the group id, so cross-group overlap is zero. The only near-dup
+# pairs are the designed (class 5, class 6) ones — important, because
+# accidental overlap would chain groups into giant components and
+# blow up the oracle's recursive-reachability CTE.
+
+_CURATE_CEFF = (
+    "(CASE WHEN doc_id % 10 = 4 THEN 3 "
+    "WHEN doc_id % 10 = 6 THEN 5 ELSE doc_id % 10 END)"
+)
+
+#: class → word-walk stride, all coprime to 22, distinct per class.
+_CURATE_STRIDE = (
+    f"(CASE {_CURATE_CEFF} WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 7 "
+    "WHEN 3 THEN 9 WHEN 5 THEN 13 WHEN 7 THEN 15 WHEN 8 THEN 17 "
+    "ELSE 19 END)"
+)
+
+
+def _curate_text_sql() -> str:
+    g = "CAST(doc_id - doc_id % 10 AS STRING)"
+    words = [
+        "concat(substr('abcdefghijklmnopqrstuvwxyz', "
+        f"({_CURATE_CEFF} * 9 + {_CURATE_STRIDE} * {i}) % 22 + 1, 5), {g})"
+        for i in range(20)
+    ]
+    body = ", ' ', ".join(words)
+    return (
+        "CASE WHEN doc_id % 10 = 7 THEN 'tiny' ELSE "
+        f"concat({body}, "
+        "CASE WHEN doc_id % 10 = 6 THEN ' coda' ELSE '' END) END"
+    )
+
+
+_CURATE_URL_SQL = (
+    "concat('https://c', CAST((doc_id - doc_id % 10) % 41 AS STRING), "
+    "'.test/d/', CAST(doc_id - doc_id % 10 AS STRING), "
+    "CASE WHEN doc_id % 10 = 1 THEN '?utm_source=x' "
+    "WHEN doc_id % 10 = 2 THEN '#f' "
+    "WHEN doc_id % 10 = 0 THEN '' "
+    "ELSE concat('?v=', CAST(doc_id % 10 AS STRING)) END)"
+)
+
+_CURATE_ERR_SQL = "CASE WHEN doc_id % 10 = 8 THEN 'boom' END"
+
+
+def _q_curate_fates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole curation pipeline cross-engine: quality gate → URL dedup
+    → exact dedup → MinHash-LSH near-dedup, every document tagged
+    with its fate (jobs/curate.py). The DuckDB twin re-runs all four
+    stages in SQL (windows + recursive-CTE clusters)."""
+    from pdf_parser_spark.jobs.curate import curate_documents
+
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{_CURATE_URL_SQL} AS url",
+        f"{_curate_text_sql()} AS text",
+        f"{_CURATE_ERR_SQL} AS error",
+    )
+    return curate_documents(src, id_col="doc_id").select("doc_id", "fate")
+
+
+def _curate_fates_sql() -> str:
+    gate = ts.quality_gate_sql("text")
+    clusters = dedup.dedup_clusters_sql(_minhash_lsh_sql("s2"))
+    # AS MATERIALIZED is load-bearing: the constructed text is a huge
+    # expression, and DuckDB's default CTE inlining would re-expand it
+    # at every reference inside the 16-perm minhash expression — the
+    # planner's expression tree grows combinatorially and OOMs.
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, {_CURATE_URL_SQL} AS url, {_curate_text_sql()} AS text,
+         {_CURATE_ERR_SQL} AS error
+  FROM documents
+),
+pre AS MATERIALIZED (
+  SELECT *, {ur.canonical_url_sql('url')} AS canon_url,
+    CASE WHEN error IS NOT NULL THEN 'error'
+         WHEN trim(text) = '' THEN 'quality:empty'
+         WHEN NOT ({gate['keep']}) THEN 'quality:' || ({gate['reason']})
+    END AS pre_fate
+  FROM src
+),
+u AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER
+      (PARTITION BY canon_url ORDER BY url ASC) AS rn
+    FROM pre WHERE pre_fate IS NULL
+  ) WHERE rn > 1
+),
+s1 AS MATERIALIZED (
+  SELECT * FROM pre
+  WHERE pre_fate IS NULL AND doc_id NOT IN (SELECT doc_id FROM u)
+),
+e AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+           count(*) OVER (PARTITION BY md5(text)) AS n
+    FROM s1
+  ) WHERE n > 1 AND doc_id != keeper
+),
+s2 AS MATERIALIZED (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM e)
+),
+nd AS (
+  SELECT doc_id FROM ({clusters}) WHERE cluster_id != doc_id
+)
+SELECT doc_id,
+  coalesce(pre_fate,
+    CASE WHEN doc_id IN (SELECT doc_id FROM u) THEN 'url_dup'
+         WHEN doc_id IN (SELECT doc_id FROM e) THEN 'exact_dup'
+         WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+         ELSE 'kept' END) AS fate
+FROM pre
+"""
+
+
 # -------------------------------------------------- link-graph tier
 # Synthetic fixtures shared VERBATIM by both engines (pure functions
 # of doc_id — no url/html columns exist in the test tables). The
@@ -1603,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "term_df": _q_term_df,
         "tfidf_topk": _q_tfidf_topk,
+        "curate_fates": _q_curate_fates,
         "cdx_parse": _q_cdx_parse,
         "cdx_fetch_plan": _q_cdx_fetch_plan,
         "cdx_latest": _q_cdx_latest,
@@ -1618,7 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------- oracles
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(table: str = "documents") -> str:
     sig = dedup.minhash_signature_sql("text")
     rows = dedup.N_HASHES // dedup.N_BANDS
     # mirrors the Spark side exactly: the has-shingles predicate (docs
@@ -1630,7 +1758,7 @@ def _minhash_lsh_sql() -> str:
         "len(string_split_regex(trim(text), '\\s+')) >= 5"
     )
     return f"""
-WITH sig AS (SELECT doc_id, {sig} AS sig FROM documents WHERE {has_sh}),
+WITH sig AS (SELECT doc_id, {sig} AS sig FROM {table} WHERE {has_sh}),
 bands AS (
   SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
          md5(array_to_string(list_slice(sig, b*{rows}+1, b*{rows}+{rows}), '|'))
@@ -2120,6 +2248,7 @@ FROM documents
 """,
         "term_df": tm.term_df_sql("documents"),
         "tfidf_topk": tm.tfidf_topk_sql("documents", k=5),
+        "curate_fates": _curate_fates_sql(),
         # CDX twins select from the arithmetic field reconstruction —
         # the Spark side parses the LINE with the production parser.
         "cdx_parse": _CDX_FIELDS_SQL,

@@ -1,0 +1,217 @@
+"""End-to-end corpus curation: extraction output → training corpus.
+
+The composition job a training-data pipeline actually runs, chaining
+the repo's tiers in the publicly documented C4/CCNet/RefinedWeb
+order: containment filter → quality gate → URL-level dedup → exact
+text dedup → MinHash-LSH near-dedup → (optional) PII redaction and
+hash sampling. The reference app has no pipeline tier (per-request
+parser); this is the 10^12-row workflow its users would need.
+
+Audit-grade single-pass design: instead of materializing a shrinking
+corpus per stage, every document is TAGGED with its fate — the first
+stage that dropped it (``error``, ``quality:<reason>``, ``url_dup``,
+``exact_dup``, ``near_dup``) or ``kept``. The curated corpus is
+``fate = 'kept'``; per-fate counts (the job's metrics row) and the
+"why was my document dropped" answer both come from the same tagged
+DataFrame — ONE extra shuffle for the metrics, zero re-scans.
+
+Plan shape at 100 TB:
+- quality/error/canonical-url tags are native column expressions
+  (codegen, no shuffle);
+- each dedup stage computes only a doc_id DROP LIST over the
+  SURVIVORS of the previous stages (no wasted signatures for docs
+  already dropped), joined back as a left join whose small side is
+  the drop list — AQE broadcasts it at typical dup rates;
+- texts never shuffle: URL dedup shuffles canonical-url strings,
+  exact dedup 16-byte md5s, near-dedup the LSH band keys
+  (operators/dedup.py's capped band table).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..caching import persisted, release_cached
+from ..functions.textstats import pii_redact, quality_gate
+from ..operators import urls as ur
+from ..operators.dedup import (
+    dedup_clusters,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+)
+from ..operators.sampling import hash_draw, keep_threshold
+from ..sources.catalog import append_table, read_table
+
+
+def curate_documents(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    error_col: Optional[str] = "error",
+    id_col: Optional[str] = None,
+    near_dedup: bool = True,
+    redact_pii: bool = False,
+    sample_rate: Optional[float] = None,
+    salt: str = "curate",
+) -> DataFrame:
+    """Tag every document with its curation fate; returns the input
+    columns plus ``doc_id``, ``canon_url`` and ``fate``. Kept rows
+    are ``fate = 'kept'``; callers filter, and aggregate the same
+    frame for metrics. ``id_col`` names an existing unique row id;
+    without one, doc_id = xxhash64 of the RAW url (the crawl table's
+    natural key — canonical urls collide by design, that's what url
+    dedup detects, so they can't identify rows). Dedup keepers are
+    the MIN doc_id of each group, so a caller-supplied id also fixes
+    which duplicate survives."""
+    d = docs.withColumn("canon_url", ur.canonical_url(F.col(url_col)))
+    if id_col is None:
+        d = d.withColumn("doc_id", F.xxhash64(F.col(url_col)))
+    elif id_col != "doc_id":
+        d = d.withColumn("doc_id", F.col(id_col))
+
+    err = (
+        F.col(error_col).isNotNull() if error_col in docs.columns
+        else F.lit(False)
+    )
+    gate = quality_gate(F.col(text_col))
+    pre = (
+        F.when(err, F.lit("error"))
+        .when(F.trim(F.col(text_col)) == "", F.lit("quality:empty"))
+        .when(~gate["keep"], F.concat(F.lit("quality:"), gate["reason"]))
+    )
+    # registered cache (caching.release_cached() frees it): the tagged
+    # base feeds every survivor filter, three drop-list derivations,
+    # AND the near-dedup clustering loop — without the cache each of
+    # those branches re-runs the quality-gate expressions and the
+    # upstream scan (the multi-consumer re-scan trap; at 100 TB this
+    # is a disk-backed persist or an explicit staging table).
+    d = persisted(d.withColumn("_pre", pre))
+
+    # URL-level dedup over pre-stage survivors: keep the bytewise-min
+    # raw url per canonical url (deterministic pick).
+    w = Window.partitionBy("canon_url").orderBy(F.asc(url_col))
+    s0 = d.where(F.col("_pre").isNull())
+    url_drop = (
+        s0.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("doc_id")
+        .withColumn("_url_dup", F.lit(True))
+    )
+    d = d.join(url_drop, "doc_id", "left")
+
+    # exact text dedup over survivors: keep min doc_id per md5 group.
+    s1 = d.where(F.col("_pre").isNull() & F.col("_url_dup").isNull())
+    groups = exact_dup_groups(s1, text_col=text_col, id_col="doc_id")
+    exact_drop = (
+        s1.select(F.md5(F.col(text_col)).alias("fingerprint"), "doc_id")
+        .join(groups.where(F.col("n_docs") > 1)
+              .select("fingerprint", "keeper"), "fingerprint")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .withColumn("_exact_dup", F.lit(True))
+    )
+    d = d.join(exact_drop, "doc_id", "left")
+
+    if near_dedup:
+        s2 = d.where(
+            F.col("_pre").isNull()
+            & F.col("_url_dup").isNull()
+            & F.col("_exact_dup").isNull()
+        )
+        pairs = minhash_lsh_candidates(s2, text_col=text_col,
+                                       id_col="doc_id")
+        labels = dedup_clusters(pairs)
+        near_drop = (
+            labels.where(F.col("cluster_id") != F.col("doc_id"))
+            .select("doc_id")
+            .withColumn("_near_dup", F.lit(True))
+        )
+        d = d.join(near_drop, "doc_id", "left")
+    else:
+        d = d.withColumn("_near_dup", F.lit(None).cast("boolean"))
+
+    fate = F.coalesce(
+        F.col("_pre"),
+        F.when(F.col("_url_dup"), F.lit("url_dup")),
+        F.when(F.col("_exact_dup"), F.lit("exact_dup")),
+        F.when(F.col("_near_dup"), F.lit("near_dup")),
+        F.lit("kept"),
+    )
+    out = d.withColumn("fate", fate).drop(
+        "_pre", "_url_dup", "_exact_dup", "_near_dup"
+    )
+    if sample_rate is not None:
+        # sampling is part of the fate story too: kept docs losing the
+        # deterministic hash draw are tagged, not silently absent.
+        thr = keep_threshold(sample_rate)
+        out = out.withColumn(
+            "fate",
+            F.when(
+                (F.col("fate") == "kept")
+                & (hash_draw(F.col("canon_url"), salt) >= thr),
+                F.lit("sampled_out"),
+            ).otherwise(F.col("fate")),
+        )
+    if redact_pii:
+        out = out.withColumn(
+            text_col,
+            F.when(F.col("fate") == "kept",
+                   pii_redact(F.col(text_col))).otherwise(F.col(text_col)),
+        )
+    return out
+
+
+def run_curate_job(
+    spark: SparkSession,
+    docs_ref: str,
+    out_dir: str,
+    run_id: str = "run1",
+    **curate_kwargs,
+) -> dict:
+    """Curate an extracted documents table into a training corpus.
+
+    Table refs as in `run_extract_job` (paths → parquet; catalog
+    identifiers → managed/Iceberg). Writes ``curated`` (kept rows,
+    audit columns dropped) and appends one metrics row per fate to
+    ``curation_metrics``. The tagged frame is persisted so the
+    curated write and the metrics aggregate share one computation.
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    from ..sources.catalog import is_path_ref
+
+    t0 = time.time()
+    docs = read_table(spark, docs_ref)
+    tagged = curate_documents(docs, **curate_kwargs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if is_path_ref(out_dir):
+        curated_ref = os.path.join(out_dir, "curated.parquet")
+        metrics_ref = os.path.join(out_dir, "curation_metrics.parquet")
+    else:
+        curated_ref = f"{out_dir}.curated"
+        metrics_ref = f"{out_dir}.curation_metrics"
+
+    kept = tagged.where(F.col("fate") == "kept").drop("fate")
+    append_table(kept, curated_ref)
+
+    fates = {
+        r["fate"]: r["n"]
+        for r in tagged.groupBy("fate").agg(F.count("*").alias("n")).collect()
+    }  # bounded: one row per fate kind
+    wall = time.time() - t0
+    metrics = spark.createDataFrame(
+        [(run_id, k, int(v), float(wall)) for k, v in sorted(fates.items())],
+        "run_id string, fate string, n_docs long, run_wall_sec double",
+    )
+    append_table(metrics, metrics_ref)
+    tagged.unpersist()
+    release_cached()  # LSH band-table cache
+    return {"fates": fates, "wall_sec": wall}
