@@ -1635,6 +1635,28 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(_synth_edges(spark, sf_dir), iters=3)
 
 
+#: BM25 query — mid-frequency corpus terms (the synthetic vocabulary
+#: is ~30 words, all high-df; BM25 has no df band).
+_BM25_QUERY = ("spark", "vector", "stream")
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval — map-side query-term filter,
+    broadcast global stats, TakeOrderedAndProject cut
+    (operators/terms.py)."""
+    return tm.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
+
+
+def _q_page_graph_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused one-parse links+metadata operator, exploded back to the
+    links table — must equal `extract_links` exactly, so it shares
+    that query's oracle (operators/graph.py)."""
+    g = gr.page_graph(_synth_link_pages(spark, sf_dir))
+    return g.select(
+        F.col("url").alias("src"), F.explode("links").alias("l")
+    ).select("src", "l.dst", "l.anchor", "l.nofollow")
+
+
 def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target top-3 anchor texts, deterministic tie-breaks,
     WindowGroupLimit pre-pruned (operators/graph.py)."""
@@ -1740,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": _q_link_edges,
         "pagerank": _q_pagerank,
         "anchor_topk": _q_anchor_topk,
+        "bm25_topk": _q_bm25_topk,
+        "page_graph_links": _q_page_graph_links,
     }
 
 
@@ -1922,7 +1946,7 @@ def oracle_sql() -> dict[str, str]:
     long_t = "substring(repeat(text || ' ', 40), 1, 1500)"
     qsql = ts.quality_features_sql("text")
     cos_q = sim.cosine_sql("e.embedding", "q.qvec")
-    return {
+    out = {
         "extract_html_docs": (
             f"SELECT doc_id, 'html' AS kind, {norm} AS text, "
             f"{nchunks_norm} AS num_chunks FROM documents"
@@ -2353,4 +2377,9 @@ r AS (
 )
 SELECT dst, anchor, n, pos FROM r WHERE pos <= 3
 """,
+        "bm25_topk": tm.bm25_topk_sql("documents", _BM25_QUERY, k=10),
     }
+    # the fused one-parse operator must equal the two-pass extractor
+    # exactly — same oracle, independently exercised Spark path.
+    out["page_graph_links"] = out["extract_links"]
+    return out

@@ -117,6 +117,47 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
     return cols.mapInPandas(gen, schema=META_SCHEMA)
 
 
+PAGE_GRAPH_SCHEMA = (
+    "url string, title string, description string, canonical string, "
+    "robots_noindex boolean, robots_nofollow boolean, "
+    "links array<struct<dst:string, anchor:string, nofollow:boolean>>"
+)
+
+
+def page_graph(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """Fused one-pass variant: head metadata AND resolved outlinks
+    (as an array column) from a SINGLE parse of each page — use this
+    when a pipeline needs both, instead of paying the HTML parse
+    twice via `extract_links` + `page_metadata`. The links table is
+    one native `explode` away; still map-only."""
+    cols = pages.select(F.col(url_col).alias("u"), F.col(html_col).alias("h"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for u, h in zip(b["u"], b["h"]):
+                p = parse_page_links(_page_text(h))
+                links = [
+                    (dst, lk.anchor, lk.nofollow)
+                    for lk in p.links
+                    if (dst := resolve_href(u or "", lk.href, p.base))
+                    is not None
+                ]
+                canon = (
+                    resolve_href(u or "", p.canonical, p.base)
+                    if p.canonical else None
+                )
+                rows.append((u, p.title, p.description, canon,
+                             p.robots_noindex, p.robots_nofollow, links))
+            yield pd.DataFrame(rows, columns=[
+                "url", "title", "description", "canonical",
+                "robots_noindex", "robots_nofollow", "links",
+            ])
+
+    return cols.mapInPandas(gen, schema=PAGE_GRAPH_SCHEMA)
+
+
 def link_edges(links: DataFrame, src_col: str = "src",
                dst_col: str = "dst") -> DataFrame:
     """Outlinks → canonical follow-edge table: both endpoints

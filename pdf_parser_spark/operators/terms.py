@@ -103,6 +103,103 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame, query_terms, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms
+    → (doc_id, score). Robertson plus-one IDF
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; score rounded to 6 dp and
+    ties broken on doc_id, so the cut set is deterministic and
+    engine-portable.
+
+    Plan shape at 100 TB: the query-term filter runs map-side inside
+    the explode (non-matching terms never shuffle), so the (doc,
+    term) aggregate is bounded by |query| × matching docs; df and
+    the global (N, avgdl) scalars are 1-row/tiny aggregates broadcast
+    back in-plan; the final top-k is orderBy+limit →
+    TakeOrderedAndProject (per-partition heap, no global sort).
+    """
+    q = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col), _terms(F.col(text_col)).alias("ts")
+    ).select(id_col, F.size("ts").alias("dl"), "ts")
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )  # 1 row
+    tf = (
+        toks.select(id_col, "dl", F.explode("ts").alias("term"))
+        .where(F.col("term").isin(q))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))  # <= |query| rows
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_topk_sql(
+    table: str, query_terms, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`."""
+    q = sorted({t.lower() for t in query_terms})
+    qlist = ", ".join(f"'{t}'" for t in q)
+    terms = TERMS_SQL.format(col=text_col)
+    k1d = f"CAST({k1!r} AS DOUBLE)"
+    bd = f"CAST({b!r} AS DOUBLE)"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col}, {terms} AS ts FROM {table}
+),
+lens AS (SELECT {id_col}, len(ts) AS dl, ts FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens
+),
+tf AS (
+  SELECT {id_col}, dl, term, count(*) AS tf
+  FROM (SELECT {id_col}, dl, unnest(ts) AS term FROM lens)
+  WHERE term IN ({qlist})
+  GROUP BY {id_col}, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.{id_col},
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * ({k1d} + 1.0))
+           / (t.tf + {k1d} * (1.0 - {bd} + {bd} * t.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf t JOIN dft d USING (term), stats s
+  GROUP BY t.{id_col}
+)
+SELECT {id_col}, score FROM scored
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""
+
+
 def term_df_sql(
     table: str, text_col: str = "text", min_df: int = 2,
     max_df_frac: float = 0.5,

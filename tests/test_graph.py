@@ -150,3 +150,21 @@ def test_anchor_topk_deterministic_ties(spark):
     assert [(r.anchor, r.n, r.pos) for r in rows] == [
         ("alpha", 2, 1), ("beta", 1, 2)  # beta < gamma bytewise at n=1
     ]
+
+
+def test_page_graph_fused_equals_two_pass(spark):
+    pages = spark.createDataFrame(
+        [("https://site.test/dir/page", bytearray(PAGE.encode()))],
+        "url string, html binary",
+    )
+    from pdf_parser_spark.operators.graph import page_graph
+
+    (g,) = page_graph(pages).collect()
+    (m,) = page_metadata(pages).collect()
+    assert (g.title, g.description, g.canonical, g.robots_noindex,
+            g.robots_nofollow) == (m.title, m.description, m.canonical,
+                                   m.robots_noindex, m.robots_nofollow)
+    two_pass = {(r.dst, r.anchor, r.nofollow)
+                for r in extract_links(pages).collect()}
+    assert {(l.dst, l.anchor, l.nofollow) for l in g.links} == two_pass
+    assert len(g.links) == m.n_links

@@ -45,3 +45,42 @@ def test_tfidf_window_is_pre_pruned(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    from pdf_parser_spark.operators.terms import bm25_topk
+
+    corpus = [
+        (1, "spark joins data with spark speed"),
+        (2, "data data data tables rows"),
+        (3, "spark only"),
+        (4, "nothing relevant here at all friends"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in
+           bm25_topk(df, ["spark", "data"], k=3).collect()}
+
+    # independent reference computation
+    toks = {i: [w for w in t.split() if len(w) >= 2] for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {q: sum(q in v for v in toks.values()) for q in ("spark", "data")}
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for q, d in dfs.items():
+            tf = toks[i].count(q)
+            if tf:
+                idf = math.log(1 + (n - d + 0.5) / (d + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return round(s, 6)
+
+    want = sorted(((score(i), -i) for i in toks if score(i) > 0),
+                  reverse=True)[:3]
+    assert got == {-i: s for s, i in want}
+    for i, s in got.items():
+        assert abs(s - score(i)) < 1e-6

@@ -307,6 +307,15 @@ def main() -> None:
     )
 
     add(
+        "BM25 top-k retrieval",
+        entry._q_bm25_topk(spark, SF),
+        "Query-term filter runs map-side inside the explode (non-"
+        "matching terms never shuffle); df and the global (N, avgdl) "
+        "scalars are broadcast back in-plan; the final cut is "
+        "TakeOrderedAndProject (per-partition heap), not a global sort.",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
