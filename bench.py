@@ -50,6 +50,7 @@ def main() -> None:
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
+    trials: dict[str, dict] = {}
     extra: dict[str, float] = {}
 
     from pdf_parser_spark.caching import release_cached
@@ -59,15 +60,23 @@ def main() -> None:
         median wall — single-trial numbers can't be separated from
         ambient co-tenant noise on this box (up to 2x wall variance).
         Operator-internal caches are released between trials so each
-        trial pays the full plan."""
+        trial pays the full plan. Per-trial walls AND the 1-min load
+        average at each trial end are emitted alongside the median:
+        a median that hides a 10x straggler trial (or rides a loaded
+        window — this KVM host shows multi-minute co-tenant bursts)
+        is visible in the record instead of shipping unexplained
+        (the round-3 ann_lsh_topk 35 s outlier was exactly this)."""
         walls = []
+        loads = []
         out = None
         for _ in range(N_TRIALS):
             t0 = time.time()
             out = fn()
-            walls.append(time.time() - t0)
+            walls.append(round(time.time() - t0, 3))
+            loads.append(round(os.getloadavg()[0], 2))
             release_cached()
-        timings[name] = round(sorted(walls)[len(walls) // 2], 3)
+        timings[name] = sorted(walls)[len(walls) // 2]
+        trials[name] = {"walls": walls, "load1": loads}
         return out
 
     # materialize the synthetic pages ONCE (datagen is bench harness,
@@ -201,6 +210,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": trials,
         "sf": sf_dir,
         "n_docs": n_docs,
         "cpus": cpus,

@@ -113,7 +113,15 @@ def compact_table(
         out = df.repartition(n, *[F.col(c) for c in partition_by])
     else:
         out = df.repartition(n)
-    if sort_within:
+    if sort_within and partition_by:
+        # the partitionBy writer REQUIRES a sort on the partition
+        # columns and inserts its own (unstable) sort if the incoming
+        # order doesn't satisfy it — which would silently discard the
+        # sort_within order. Prefixing the partition columns satisfies
+        # the writer's requirement AND preserves sort_within as the
+        # secondary order inside each partition value.
+        out = out.sortWithinPartitions(*partition_by, *sort_within)
+    elif sort_within:
         out = out.sortWithinPartitions(*sort_within)
 
     if is_path_ref(ref):
@@ -129,14 +137,32 @@ def compact_table(
         shutil.rmtree(bak)
         files_after, _ = _dir_stats(ref)
     else:
+        # Preferred: ATOMIC replace (DataFrameWriterV2) — on an
+        # Iceberg/v2 catalog this is a single snapshot commit with no
+        # visibility window at all (the production analogue of
+        # rewrite_data_files). The session catalog's v1 tables reject
+        # REPLACE at analysis time (before any compute), so fall back
+        # to stage → DROP → RENAME; a crash between the DROP and the
+        # RENAME leaves the name missing with the data safe in
+        # `<ref>__compact_staging` — `recover_compaction(spark, ref)`
+        # repairs either side of that window (tested by a simulated
+        # crash in tests/test_compact.py).
         staging = f"{ref}__compact_staging"
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        writer = out.write
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.saveAsTable(staging)
-        spark.sql(f"DROP TABLE {ref}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {ref}")
+        try:
+            w2 = out.writeTo(ref)
+            if partition_by:
+                w2 = w2.partitionedBy(*[F.col(c) for c in partition_by])
+            w2.createOrReplace()
+        except Exception as e:
+            if "REPLACE TABLE" not in str(e):
+                raise
+            spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            writer = out.write
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.saveAsTable(staging)
+            spark.sql(f"DROP TABLE {ref}")
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {ref}")
         loc = _table_location(spark, ref)
         files_after = (
             _dir_stats(loc)[0] if loc and os.path.isdir(loc) else n
@@ -148,3 +174,32 @@ def compact_table(
         "bytes": total_bytes,
         "n_files": n,
     }
+
+
+def recover_compaction(spark: SparkSession, ref: str) -> str:
+    """Repair a catalog compaction interrupted inside the v1 swap
+    window (`compact_table`'s DROP → RENAME fallback). Idempotent;
+    returns what was done:
+
+    - ``"completed"`` — staging exists and `ref` is missing (crash
+      AFTER the DROP): the compacted data is published by finishing
+      the RENAME. Nothing was lost — the staging table held the full
+      rewrite.
+    - ``"rolled_back"`` — staging exists alongside a live `ref`
+      (crash BEFORE the DROP): the rewrite never swapped in, so the
+      stale staging copy is dropped and the original table stands.
+    - ``"clean"`` — no staging table; nothing to do.
+
+    Run this before reading `ref` after any compaction job whose
+    driver may have died (a real deployment puts it in the job's
+    startup path; the Iceberg/v2 branch never needs it — its replace
+    is one atomic snapshot commit).
+    """
+    staging = f"{ref}__compact_staging"
+    if not spark.catalog.tableExists(staging):
+        return "clean"
+    if spark.catalog.tableExists(ref):
+        spark.sql(f"DROP TABLE {staging}")
+        return "rolled_back"
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {ref}")
+    return "completed"

@@ -63,14 +63,17 @@ def curate_documents(
     columns plus ``doc_id``, ``canon_url`` and ``fate``. Kept rows
     are ``fate = 'kept'``; callers filter, and aggregate the same
     frame for metrics. ``id_col`` names an existing unique row id;
-    without one, doc_id = xxhash64 of the RAW url (the crawl table's
+    without one, doc_id = md5 of the RAW url (the crawl table's
     natural key — canonical urls collide by design, that's what url
-    dedup detects, so they can't identify rows). Dedup keepers are
-    the MIN doc_id of each group, so a caller-supplied id also fixes
-    which duplicate survives."""
+    dedup detects, so they can't identify rows). md5 is 128-bit, so
+    at 10^12 rows expected birthday collisions are ~n²/2¹²⁹ ≈ 10⁻¹⁵ —
+    negligible, where a 64-bit key would alias tens of thousands of
+    row pairs and silently drop/keep the wrong document in every fate
+    join. Dedup keepers are the MIN doc_id of each group, so a
+    caller-supplied id also fixes which duplicate survives."""
     d = docs.withColumn("canon_url", ur.canonical_url(F.col(url_col)))
     if id_col is None:
-        d = d.withColumn("doc_id", F.xxhash64(F.col(url_col)))
+        d = d.withColumn("doc_id", F.md5(F.col(url_col)))
     elif id_col != "doc_id":
         d = d.withColumn("doc_id", F.col(id_col))
 

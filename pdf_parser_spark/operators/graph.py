@@ -174,9 +174,43 @@ def link_edges(links: DataFrame, src_col: str = "src",
     return e.where(F.col("src") != F.col("dst")).distinct()
 
 
+def pagerank_round(e: DataFrame, deg: DataFrame, nodes: DataFrame,
+                   n1: DataFrame, ranks: DataFrame,
+                   damping: float = 0.85) -> DataFrame:
+    """One PageRank iteration body (extracted so the plan of a round
+    is inspectable — tests/test_graph_bucketed.py asserts the
+    Exchange profile of this exact function over a bucketed edge
+    table). Returns the next ranks frame, LAZY (the loop in
+    `pagerank` checkpoints it)."""
+    contrib = (
+        e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+    )
+    dangling = ranks.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))  # 1 row
+    return (
+        nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "id",
+            (
+                (1.0 - damping) / F.col("n")
+                + damping * (
+                    F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("dmass") / F.col("n")
+                )
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(edges: DataFrame, src_col: str = "src",
              dst_col: str = "dst", iters: int = 3,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, dedup: bool = True) -> DataFrame:
     """Damped PageRank over a directed edge table → (id, rank).
 
     Standard formulation: ranks start uniform 1/N; each round every
@@ -187,13 +221,21 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     CTE-unrollable oracle, `pagerank_sql`); rank rounded to 6 dp at
     the END only, so cross-engine float noise (~1e-15 per round)
     stays far below the output grain.
+
+    ``dedup=False`` skips the in-operator distinct for edge tables
+    already exactly deduped (`link_edges` output, or a bucketed edge
+    table via :func:`pagerank_bucketed` — where the distinct's
+    Exchange would also destroy the bucket layout's Exchange-free
+    join property).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .persist()
-    )  # registered-cache-free: released by caller or app end; edges
-    #    are read 2x per round — persisting is the point of the loop
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if dedup:
+        e = e.distinct()
+    e = e.persist()
+    # registered-cache-free: released by caller or app end; edges
+    # are read 2x per round — persisting is the point of the loop
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -206,35 +248,34 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         "id", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint()
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
-        )
-        dangling = ranks.join(
-            deg.select(F.col("src").alias("id")), "id", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))  # 1 row
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(F.broadcast(n1))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    (1.0 - damping) / F.col("n")
-                    + damping * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dmass") / F.col("n")
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()  # flat lineage; one round materialized
-        )
+        ranks = pagerank_round(
+            e, deg, nodes, n1, ranks, damping
+        ).localCheckpoint()  # flat lineage; one round materialized
     out = ranks.select("id", F.round("rank", 6).alias("rank"))
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def pagerank_bucketed(spark, edges_table: str, iters: int = 3,
+                      damping: float = 0.85) -> DataFrame:
+    """PageRank over a src-BUCKETED catalog edge table — the
+    jobs/bucketize.py composition: ``write_bucketed(link_edges(...),
+    table, key="src")`` pays the src-shuffle ONCE at write time, and
+    every one of the ``iters`` rounds then reads the bucket spec from
+    the catalog and runs its contrib join and out-degree aggregate
+    with NO Exchange on the edge side (plan-asserted by
+    tests/test_graph_bucketed.py). At 10^12 edges this removes the
+    dominant per-round shuffle — what still moves each round is the
+    small (id, rank) frame and the transpose groupBy(dst).
+
+    The table must hold exact-deduped edges (`link_edges` output is
+    distinct by construction); the in-operator distinct is skipped —
+    its Exchange would both re-shuffle the edges and hide the bucket
+    layout from the join planner.
+    """
+    return pagerank(spark.table(edges_table), iters=iters,
+                    damping=damping, dedup=False)
 
 
 def pagerank_sql(edges_sql: str, iters: int = 3,

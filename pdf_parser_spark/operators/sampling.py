@@ -114,7 +114,9 @@ def stratified_sample(
     (~`oversample * n_per_key` rows expected per key) are ranked, and
     any key whose survivors undershoot its quota falls back to its
     full stratum — rare (P ~ exp(-n·(o-1)²/(o+1)) per key by Chernoff)
-    but required for exactness.
+    but required for exactness. A NULL `key_col` is one stratum of its
+    own, exactly as the plain window (and the DuckDB twin) treats it —
+    the threshold join is null-safe.
 
     `keys_broadcast_limit` bounds the driver-side collect of per-key
     counts (collected once; as DataFrame references the count agg —
@@ -154,13 +156,28 @@ def stratified_sample(
         for k, c in counts.items()
     }
     spark = df.sparkSession
+    # NULL is a legitimate stratum (the plain-window DuckDB twin keeps
+    # it): the threshold frame carries the key's real type via an
+    # explicit schema and the join is NULL-SAFE equality (still a
+    # broadcast hash equi-join) — a plain equi-join would silently drop
+    # every NULL-key row.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_field = df.schema[key_col]
     thr_df = spark.createDataFrame(
-        [(k, t) for k, t in thresholds.items()], [key_col, "_thr"]
+        [(k, t) for k, t in thresholds.items()],
+        StructType([
+            StructField("_thr_key", key_field.dataType, True),
+            StructField("_thr", LongType(), False),
+        ]),
     )
     surv = persisted(
-        tagged.join(F.broadcast(thr_df), key_col)
+        tagged.join(
+            F.broadcast(thr_df),
+            F.col(key_col).eqNullSafe(F.col("_thr_key")),
+        )
         .where(F.col("_draw") < F.col("_thr"))
-        .drop("_thr")
+        .drop("_thr_key", "_thr")
     )
 
     # keys whose survivors undershoot min(n, cnt) fall back to their
@@ -177,15 +194,31 @@ def stratified_sample(
     pool = surv
     if deficient:
         if len(deficient) <= 256:
-            # literal IN-filter pushes to the parquet scan
-            fallback = tagged.where(F.col(key_col).isin(deficient))
-            pool = surv.where(~F.col(key_col).isin(deficient))
+            # literal IN-filter pushes to the parquet scan. The
+            # predicate is made null-safe BOOLEAN (coalesce to false):
+            # a bare isin() returns NULL for NULL-key rows, and
+            # `~NULL` would silently drop them from the pool.
+            vals = [k for k in deficient if k is not None]
+            pred = (
+                F.coalesce(F.col(key_col).isin(vals), F.lit(False))
+                if vals else F.lit(False)
+            )
+            if any(k is None for k in deficient):
+                pred = pred | F.col(key_col).isNull()
+            fallback = tagged.where(pred)
+            pool = surv.where(~pred)
         else:
             dd = F.broadcast(
-                spark.createDataFrame([(k,) for k in deficient], [key_col])
+                spark.createDataFrame(
+                    [(k,) for k in deficient],
+                    StructType([
+                        StructField("_dk", key_field.dataType, True)
+                    ]),
+                )
             )
-            fallback = tagged.join(dd, key_col, "left_semi")
-            pool = surv.join(dd, key_col, "left_anti")
+            cond = F.col(key_col).eqNullSafe(F.col("_dk"))
+            fallback = tagged.join(dd, cond, "left_semi")
+            pool = surv.join(dd, cond, "left_anti")
         pool = pool.unionByName(fallback.select(*pool.columns))
 
     w = Window.partitionBy(key_col).orderBy(F.col("_draw"), F.col(id_col))

@@ -53,6 +53,9 @@ def term_df(
     """
     if n_docs is None:
         n_docs = df.count()
+    # Python int() TRUNCATES; the DuckDB twin must floor() too — a
+    # bare CAST rounds-to-nearest and keeps boundary terms Spark drops
+    # whenever max_df_frac * N is non-integral (odd N at 0.5).
     cap = int(max_df_frac * n_docs)
     per_doc = df.select(
         F.explode(F.array_distinct(_terms(F.col(text_col)))).alias("term")
@@ -129,7 +132,14 @@ def bm25_topk(
         F.count("*").cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
     )  # 1 row
-    tf = (
+    from ..caching import persisted
+
+    # persisted: dft derives from tf AND the scored join reads tf —
+    # un-persisted, the corpus tokenize-explode subtree runs twice
+    # (the second pass map-side-filtered to query terms, cheap but a
+    # whole extra corpus scan at 100 TB). tf is tiny: bounded by
+    # |query| × matching docs.
+    tf = persisted(
         toks.select(id_col, "dl", F.explode("ts").alias("term"))
         .where(F.col("term").isin(q))
         .groupBy(id_col, "dl", "term")
@@ -213,7 +223,7 @@ FROM (
 )
 GROUP BY term
 HAVING count(*) >= {min_df}
-   AND count(*) <= CAST({max_df_frac} * (SELECT count(*) FROM {table}) AS BIGINT)
+   AND count(*) <= CAST(floor({max_df_frac} * (SELECT count(*) FROM {table})) AS BIGINT)
 """
 
 

@@ -40,11 +40,27 @@ def parse_cdx(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """
     parts = F.split(F.col(line_col), " ", 3)
     j = F.from_json(F.get(parts, 2), CDX_JSON_SCHEMA)
+    ts14 = F.get(parts, 1)
+    # CDX timestamps are UTC by spec. The epoch is computed
+    # ARITHMETICALLY (DateType days since 1970-01-01 + h/m/s fields)
+    # rather than via to_timestamp/unix_timestamp, which interpret the
+    # naive string in spark.sql.session.timeZone — a non-UTC session
+    # would silently shift every fetch_unix. DateType carries no zone,
+    # so this expression is session-TZ-independent (pinned by
+    # tests/test_cdx.py::test_fetch_unix_tz_independent).
+    fetch_unix = F.when(
+        ts14.rlike(r"^[0-9]{14}$"),
+        F.datediff(
+            F.to_date(F.substring(ts14, 1, 8), "yyyyMMdd"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint") * 86400
+        + F.substring(ts14, 9, 2).cast("bigint") * 3600
+        + F.substring(ts14, 11, 2).cast("bigint") * 60
+        + F.substring(ts14, 13, 2).cast("bigint"),
+    )  # non-14-digit timestamp → NULL (row-level containment)
     return lines.select(
         F.get(parts, 0).alias("surt"),
-        F.unix_timestamp(
-            F.to_timestamp(F.get(parts, 1), "yyyyMMddHHmmss")
-        ).alias("fetch_unix"),
+        fetch_unix.alias("fetch_unix"),
         j["url"].alias("url"),
         j["mime"].alias("mime"),
         j["status"].cast("int").alias("status"),

@@ -52,3 +52,27 @@ def test_latest_capture_picks_newest(spark):
     assert [(r.surt, r.fetch_unix, r.filename) for r in rows] == [
         ("com,a)/x", 1704067260, "seg-1.warc.gz")
     ]
+
+
+def test_fetch_unix_tz_independent(spark):
+    """CDX timestamps are UTC by spec; fetch_unix must NOT depend on
+    spark.sql.session.timeZone (the arithmetic parse in parse_cdx —
+    a to_timestamp-based parse would shift every epoch by the session
+    offset, here -5h/-4h for America/New_York)."""
+    tz_key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        rows = {(r.surt, r.fetch_unix) for r in _captures(spark).collect()}
+    finally:
+        spark.conf.set(tz_key, orig)
+    assert ("com,a)/x", 1704067200) in rows
+    assert ("com,a)/x", 1704067260) in rows
+
+
+def test_malformed_timestamp_contained(spark):
+    bad = 'com,a)/w 2024010100 {"url": "https://a.com/w"}'  # 10 digits
+    rows = parse_cdx(
+        spark.createDataFrame([(bad,)], "line string")
+    ).collect()
+    assert rows[0].fetch_unix is None  # contained, not raised/garbage

@@ -4,7 +4,11 @@ rewrites it into target-size files with data unchanged."""
 
 import shutil
 
-from pdf_parser_spark.jobs.compact import compact_table, plan_file_count
+from pdf_parser_spark.jobs.compact import (
+    compact_table,
+    plan_file_count,
+    recover_compaction,
+)
 from pdf_parser_spark.sources import read_table
 
 
@@ -81,6 +85,69 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     )
     assert after == before
     assert stats["files_after"] == 3 < stats["files_before"]
+
+
+def test_compact_sort_within_under_partition_by(spark, tmp_path):
+    """sort_within combined with partition_by: the partitionBy writer
+    requires a sort on the partition columns and would insert its own
+    UNSTABLE sort (discarding sort_within) if the incoming order did
+    not already satisfy it — compact_table prefixes the partition
+    columns so the secondary order survives into each file."""
+    ref = str(tmp_path / "docs.parquet")
+    df = spark.range(900).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as crawl_date",
+        "cast(id % 11 as string) as lang",
+    )
+    df.repartition(16).write.mode("append") \
+        .partitionBy("crawl_date").parquet(ref)
+
+    compact_table(spark, ref, n_files=3, partition_by=["crawl_date"],
+                  sort_within=["lang", "doc_id"])
+
+    import os
+
+    for d in sorted(os.listdir(ref)):
+        if not d.startswith("crawl_date="):
+            continue
+        files = [f for f in os.listdir(os.path.join(ref, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+        rows = spark.read.parquet(os.path.join(ref, d, files[0])).collect()
+        keys = [(r.lang, r.doc_id) for r in rows]
+        assert keys == sorted(keys), d  # secondary sort preserved
+
+
+def test_recover_compaction_windows(spark):
+    """The v1 catalog swap's crash window (stage -> DROP -> RENAME) is
+    repairable on either side: crash AFTER the DROP leaves the name
+    missing with the rewrite safe in staging (recover completes the
+    RENAME); crash BEFORE the DROP leaves a stale staging (recover
+    rolls it back). Idempotent: a second call is a no-op."""
+    ref = "recover_seam_test"
+    staging = f"{ref}__compact_staging"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (ref, staging):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    assert recover_compaction(spark, ref) == "clean"
+
+    # crash AFTER the DROP: staging holds the full rewrite, name gone
+    spark.range(100).withColumnRenamed("id", "doc_id") \
+        .write.saveAsTable(staging)
+    assert recover_compaction(spark, ref) == "completed"
+    assert spark.table(ref).count() == 100
+    assert not spark.catalog.tableExists(staging)
+    assert recover_compaction(spark, ref) == "clean"  # idempotent
+
+    # crash BEFORE the DROP: live ref + stale staging -> roll back
+    spark.range(7).withColumnRenamed("id", "doc_id") \
+        .write.saveAsTable(staging)
+    assert recover_compaction(spark, ref) == "rolled_back"
+    assert spark.table(ref).count() == 100  # original stands
+    assert not spark.catalog.tableExists(staging)
+
+    spark.sql(f"DROP TABLE {ref}")
 
 
 def test_compact_catalog_table(spark):

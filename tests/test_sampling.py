@@ -89,6 +89,52 @@ def test_stratified_small_strata_kept_whole(spark):
     assert out.count() == 7
 
 
+def test_stratified_null_key_is_a_stratum(spark):
+    """NULL key_col rows form a stratum of their own, exactly as the
+    plain window (and the DuckDB twin) treats them — the threshold
+    join is null-safe, so they are neither dropped nor merged."""
+    corpus = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 != 4, (F.col("id") % 5).cast("string"))
+        .alias("lang"),  # every 5th row: lang IS NULL (600 rows)
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    got = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample(corpus, 40, key_col="lang", salt="q")
+        .select("lang", "doc_id").collect()
+    }
+    assert got == _ground_truth(corpus, 40)
+    assert sum(1 for lang, _ in got if lang is None) == 40
+
+    # fallback path (every key deficient, incl. the NULL stratum)
+    got_fb = {
+        (r.lang, r.doc_id)
+        for r in stratified_sample(
+            corpus, 40, key_col="lang", salt="q", oversample=0.001)
+        .select("lang", "doc_id").collect()
+    }
+    assert got_fb == got
+
+    # large-key branch (> 256 deficient keys exercises the broadcast
+    # join dedup instead of the literal IN-filter) with NULLs present
+    wide = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 300 != 299,
+               (F.col("id") % 300).cast("string")).alias("lang"),
+    )
+    out = stratified_sample(wide, 3, key_col="lang", salt="q",
+                            oversample=0.001)
+    w = Window.partitionBy("lang").orderBy(
+        hash_draw(F.col("doc_id"), "q"), F.col("doc_id"))
+    want = {
+        (r.lang, r.doc_id)
+        for r in wide.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3).select("lang", "doc_id").collect()
+    }
+    assert {(r.lang, r.doc_id) for r in out.collect()} == want
+
+
 def test_stratified_rejects_bad_args(corpus):
     with pytest.raises(ValueError):
         stratified_sample(corpus, 0)
