@@ -1512,6 +1512,142 @@ FROM pre
 """
 
 
+def _q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation cross-engine: the constructed corpus is
+    split doc_id % 3 into an existing HISTORY corpus and a NEW crawl
+    increment (decade-grouped url/text collisions interleave across
+    the split, so every history fate fires); the DuckDB twin replays
+    all seven stages with the history probes staged before their
+    within-batch counterparts (jobs/curate.py
+    curate_documents_incremental)."""
+    from pdf_parser_spark.jobs.curate import curate_documents_incremental
+
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{_CURATE_URL_SQL} AS url",
+        f"{_curate_text_sql()} AS text",
+        f"{_CURATE_ERR_SQL} AS error",
+    ).localCheckpoint()  # fixture generation, not the operator under
+    # test: without this the huge constructed-text expression tree is
+    # re-analyzed inside every stage's lineage (3 history probes + 5
+    # survivor chains x the 16-perm minhash fold) and Catalyst
+    # planning dominates the wall (measured ~169 s -> seconds)
+    hist = src.where("doc_id % 3 = 0")
+    new = src.where("doc_id % 3 != 0")
+    return curate_documents_incremental(
+        new, hist, id_col="doc_id"
+    ).select("doc_id", "fate")
+
+
+def _bands_sql(table: str) -> str:
+    """(doc_id, band_key) SELECT for `table` — the DuckDB mirror of
+    operators.dedup.band_table (same has-shingles predicate, same
+    band-key construction as _minhash_lsh_sql)."""
+    sig = dedup.minhash_signature_sql("text")
+    rows = dedup.N_HASHES // dedup.N_BANDS
+    has_sh = (
+        "trim(text) != '' AND "
+        "len(string_split_regex(trim(text), '\\s+')) >= 5"
+    )
+    return f"""
+SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+       md5(array_to_string(list_slice(sig, b*{rows}+1, b*{rows}+{rows}), '|'))
+       AS band_key
+FROM (SELECT doc_id, {sig} AS sig FROM {table} WHERE {has_sh}) s,
+     (SELECT unnest([{", ".join(str(b) for b in range(dedup.N_BANDS))}]) AS b) t
+"""
+
+
+def _curate_incremental_sql() -> str:
+    gate = ts.quality_gate_sql("text")
+    clusters = dedup.dedup_clusters_sql(_minhash_lsh_sql("s5"))
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, {_CURATE_URL_SQL} AS url, {_curate_text_sql()} AS text,
+         {_CURATE_ERR_SQL} AS error
+  FROM documents
+),
+hist AS MATERIALIZED (SELECT * FROM src WHERE doc_id % 3 = 0),
+pre AS MATERIALIZED (
+  SELECT *, {ur.canonical_url_sql('url')} AS canon_url,
+    CASE WHEN error IS NOT NULL THEN 'error'
+         WHEN trim(text) = '' THEN 'quality:empty'
+         WHEN NOT ({gate['keep']}) THEN 'quality:' || ({gate['reason']})
+    END AS pre_fate
+  FROM src WHERE doc_id % 3 != 0
+),
+hc AS MATERIALIZED (
+  SELECT DISTINCT {ur.canonical_url_sql('url')} AS canon_url FROM hist
+),
+uh AS MATERIALIZED (
+  SELECT doc_id FROM pre
+  WHERE pre_fate IS NULL AND canon_url IN (SELECT canon_url FROM hc)
+),
+u AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER
+      (PARTITION BY canon_url ORDER BY url ASC) AS rn
+    FROM pre WHERE pre_fate IS NULL
+      AND doc_id NOT IN (SELECT doc_id FROM uh)
+  ) WHERE rn > 1
+),
+s2 AS MATERIALIZED (
+  SELECT * FROM pre WHERE pre_fate IS NULL
+    AND doc_id NOT IN (SELECT doc_id FROM uh)
+    AND doc_id NOT IN (SELECT doc_id FROM u)
+),
+hfp AS MATERIALIZED (SELECT DISTINCT md5(text) AS fp FROM hist),
+eh AS MATERIALIZED (
+  SELECT doc_id FROM s2 WHERE md5(text) IN (SELECT fp FROM hfp)
+),
+s3 AS MATERIALIZED (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM eh)
+),
+e AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+           count(*) OVER (PARTITION BY md5(text)) AS n
+    FROM s3
+  ) WHERE n > 1 AND doc_id != keeper
+),
+s4 AS MATERIALIZED (
+  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM e)
+),
+nb AS MATERIALIZED ({_bands_sql('s4')}),
+hb AS MATERIALIZED ({_bands_sql('hist')}),
+okh AS MATERIALIZED (
+  SELECT band_key FROM (
+    SELECT band_key, count(*) AS n,
+           max(CASE WHEN h THEN 1 ELSE 0 END) AS has_hist
+    FROM (SELECT band_key, FALSE AS h FROM nb
+          UNION ALL SELECT band_key, TRUE AS h FROM hb)
+    GROUP BY band_key
+  ) WHERE n <= {dedup.MAX_BUCKET} AND has_hist = 1
+),
+nh AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM nb
+  WHERE band_key IN (SELECT band_key FROM okh)
+),
+s5 AS MATERIALIZED (
+  SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM nh)
+),
+nd AS (
+  SELECT doc_id FROM ({clusters}) WHERE cluster_id != doc_id
+)
+SELECT doc_id,
+  coalesce(pre_fate,
+    CASE WHEN doc_id IN (SELECT doc_id FROM uh) THEN 'url_dup_hist'
+         WHEN doc_id IN (SELECT doc_id FROM u) THEN 'url_dup'
+         WHEN doc_id IN (SELECT doc_id FROM eh) THEN 'exact_dup_hist'
+         WHEN doc_id IN (SELECT doc_id FROM e) THEN 'exact_dup'
+         WHEN doc_id IN (SELECT doc_id FROM nh) THEN 'near_dup_hist'
+         WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+         ELSE 'kept' END) AS fate
+FROM pre
+"""
+
+
 # -------------------------------------------------- link-graph tier
 # Synthetic fixtures shared VERBATIM by both engines (pure functions
 # of doc_id — no url/html columns exist in the test tables). The
@@ -1697,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-gated before round 4 (round-3 tier) ---
         "curate_fates": _q_curate_fates,
+        "curate_incremental": _q_curate_incremental,
         "url_canonicalize": _q_url_canonicalize,
         "domain_stats": _q_domain_stats,
         "blocked_domains": _q_blocked_domains,
@@ -2284,6 +2421,7 @@ FROM documents
         "term_df": tm.term_df_sql("documents"),
         "tfidf_topk": tm.tfidf_topk_sql("documents", k=5),
         "curate_fates": _curate_fates_sql(),
+        "curate_incremental": _curate_incremental_sql(),
         # CDX twins select from the arithmetic field reconstruction —
         # the Spark side parses the LINE with the production parser.
         "cdx_parse": _CDX_FIELDS_SQL,

