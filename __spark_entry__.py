@@ -1079,6 +1079,18 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic token-budget prefix ("give me N tokens from
+    this source") WITHOUT a global sort: driver-resolved draw-range
+    histogram + one boundary-range window (operators/sampling.py).
+    The twin is the naive global window cumsum it is equivalent to;
+    n_chars stands in for the token weight on the synthetic corpus."""
+    return smp.token_budget_sample(
+        _docs(spark, sf_dir), budget=60_000, weight_col="n_chars",
+        salt="r4",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: block bin assignment at 256-token capacity,
     16 parallel hash-groups (operators/packing.py)."""
@@ -1860,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": _q_pii_counts,
         "shuffle_assignment": _q_shuffle_assignment,
         "mix_corpus": _q_mix_corpus,
+        "token_budget_sample": _q_token_budget_sample,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2365,6 +2378,10 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": smp.stratified_sample_sql(
             "documents", 25, key_col="lang", salt="r3",
             columns=["doc_id", "lang"],
+        ),
+        "token_budget_sample": smp.token_budget_sample_sql(
+            "documents", 60_000, weight_col="n_chars", salt="r4",
+            columns="doc_id, lang, n_chars",
         ),
         "pack_blocks": pk.pack_blocks_sql("documents", 256, 16),
         "pii_counts": (

@@ -341,6 +341,113 @@ WHERE {hash_draw_sql("d." + id_col, salt)} < thr.thr
 """
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 4096,
+    levels: int = 2,
+) -> DataFrame:
+    """Keep an EXACT deterministic token budget: rows ordered by
+    (hash_draw(id, salt), id), keep the maximal prefix whose
+    `weight_col` sum is <= `budget`. This is the budget-shaped
+    sampling request a training pipeline actually gets ("X billion
+    tokens from this source"), where :func:`hash_sample` /
+    :func:`mix_corpus` are rate-shaped.
+
+    Exactness WITHOUT a global sort: a window cumsum ordered by draw
+    would sort the whole corpus into one task. Instead the draw space
+    [0, 16^15) is cut into `n_buckets` equal ranges; one pruned
+    aggregate (weight sum per range, map-side partial) is collected
+    driver-side (n_buckets rows), the prefix of fully-kept ranges is
+    resolved there, and only the single BOUNDARY range recurses —
+    `levels` rounds shrink it to n / n_buckets^levels rows (at 10^12
+    rows, 4096²: ~60k rows), which one window task then resolves
+    exactly. Kept rows form one contiguous draw-prefix, so the final
+    filter is map-side (`draw < cut` plus the window survivors of the
+    boundary range).
+
+    Equivalent by construction to the naive
+
+        SELECT * FROM (SELECT *, sum(w) OVER (ORDER BY draw, id) c
+                       FROM t) WHERE c <= budget
+
+    which is the DuckDB twin (:func:`token_budget_sample_sql`).
+    Weights must be non-negative and non-null (rows with w=0 inside
+    the kept prefix are kept — they cost nothing).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if HASH_SPACE % (n_buckets ** levels):
+        raise ValueError(
+            f"n_buckets^levels must divide 16^15 (a power of 2 up to "
+            f"2^60); got {n_buckets}^{levels}"
+        )
+    d = persisted(df.withColumn("_draw", hash_draw(F.col(id_col), salt)))
+    lo, width, remaining = 0, HASH_SPACE, int(budget)
+    for _ in range(levels):
+        width //= n_buckets
+        stats = (
+            d.where((F.col("_draw") >= lo)
+                    & (F.col("_draw") < lo + width * n_buckets))
+            # integral `div`, not `/`: float division of ~2^60 draws
+            # loses low bits (53-bit mantissa) and could mis-bucket a
+            # boundary row relative to the integer-exact range filters
+            .groupBy(F.expr(f"(_draw - {lo}) div {width}").alias("_b"))
+            .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+            .collect()
+        )  # <= n_buckets rows
+        by_b = {r["_b"]: r["_w"] for r in stats}
+        if any(v is None for v in by_b.values()):
+            raise ValueError(
+                f"token_budget_sample: NULL values in {weight_col}"
+            )
+        k = 0
+        while k < n_buckets and by_b.get(k, 0) <= remaining:
+            remaining -= by_b.get(k, 0)
+            k += 1
+        lo += k * width
+        if k == n_buckets:  # budget swallows this whole range
+            width = 0
+            break
+    kept = d.where(F.col("_draw") < lo)
+    if width > 0:
+        w = Window.orderBy(F.col("_draw"), F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        boundary = (
+            d.where((F.col("_draw") >= lo) & (F.col("_draw") < lo + width))
+            .withColumn("_cum", F.sum(F.col(weight_col).cast("long")).over(w))
+            .where(F.col("_cum") <= remaining)
+            .drop("_cum")
+        )
+        kept = kept.unionByName(boundary)
+    return kept.drop("_draw")
+
+
+def token_budget_sample_sql(
+    table: str,
+    budget: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` — the naive global
+    cumsum the Spark side is exactly equivalent to."""
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, sum(CAST({weight_col} AS BIGINT)) OVER (
+    ORDER BY {hash_draw_sql(id_col, salt)}, {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS _cum
+  FROM {table}
+) WHERE _cum <= {int(budget)}
+"""
+
+
 def shuffle_assignment(
     df: DataFrame, n_parts: int, id_col: str = "doc_id", salt: str = "",
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from pdf_parser_spark.operators.sampling import (
     hash_sample,
     keep_threshold,
     stratified_sample,
+    token_budget_sample,
 )
 
 
@@ -133,6 +134,74 @@ def test_stratified_null_key_is_a_stratum(spark):
         .where(F.col("rn") <= 3).select("lang", "doc_id").collect()
     }
     assert {(r.lang, r.doc_id) for r in out.collect()} == want
+
+
+def _budget_truth(df, budget, salt="b"):
+    """The naive semantics: global cumsum over (draw, id) order."""
+    w = Window.orderBy(hash_draw(F.col("doc_id"), salt), F.col("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return {
+        r.doc_id
+        for r in df.withColumn("c", F.sum("w").over(w))
+        .where(F.col("c") <= budget).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    return spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("w"),  # total = 5000*49.x ~ 245k
+    ).persist()
+
+
+def test_token_budget_exact_vs_global_cumsum(weighted):
+    for budget in (0, 1, 50_000, 120_000, 10**9):
+        got = {
+            r.doc_id
+            for r in token_budget_sample(
+                weighted, budget, weight_col="w", salt="b").collect()
+        }
+        assert got == _budget_truth(weighted, budget), budget
+    # full-budget case keeps everything
+    assert len(_budget_truth(weighted, 10**9)) == 5000
+
+
+def test_token_budget_boundary_is_exact(weighted):
+    """The kept sum is the maximal prefix sum <= budget: adding the
+    next doc in draw order would exceed it."""
+    budget = 77_777
+    kept = token_budget_sample(weighted, budget, weight_col="w", salt="b")
+    total = kept.agg(F.sum("w")).first()[0]
+    assert total <= budget
+    n_kept = kept.count()
+    truth_plus = _budget_truth(weighted, budget + 97)  # one more max-w doc
+    assert total + 1 > budget - 97  # within one doc weight of the budget
+    assert n_kept <= len(truth_plus)
+
+
+def test_token_budget_levels_and_buckets_agree(weighted):
+    base = {
+        r.doc_id
+        for r in token_budget_sample(
+            weighted, 60_000, weight_col="w", salt="b").collect()
+    }
+    for kwargs in ({"levels": 1}, {"n_buckets": 64, "levels": 2},
+                   {"n_buckets": 16, "levels": 3}):
+        got = {
+            r.doc_id
+            for r in token_budget_sample(
+                weighted, 60_000, weight_col="w", salt="b",
+                **kwargs).collect()
+        }
+        assert got == base, kwargs
+
+
+def test_token_budget_rejects_bad_args(weighted):
+    with pytest.raises(ValueError):
+        token_budget_sample(weighted, -1, weight_col="w")
+    with pytest.raises(ValueError, match="divide"):
+        token_budget_sample(weighted, 10, weight_col="w", n_buckets=1000)
 
 
 def test_stratified_rejects_bad_args(corpus):
