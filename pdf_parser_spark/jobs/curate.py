@@ -403,9 +403,17 @@ def run_curate_job(
         tagged = curate_documents_incremental(
             docs, read_table(spark, history_ref), **curate_kwargs
         )
+        # localCheckpoint, NOT persist: in the daily loop history_ref
+        # IS this job's own curated output, so the tagged plan reads
+        # the very table the kept-append below grows — a lazily-cached
+        # plan can recompute after the append and re-fate the freshly
+        # appended rows as history dups (measured in the streaming
+        # twin, streaming/curate_stream.py). Materializing eagerly
+        # severs the plan from the table before it changes.
+        tagged = tagged.localCheckpoint()
     else:
         tagged = curate_documents(docs, **curate_kwargs)
-    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     if is_path_ref(out_dir):
         curated_ref = os.path.join(out_dir, "curated.parquet")
         metrics_ref = os.path.join(out_dir, "curation_metrics.parquet")

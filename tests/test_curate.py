@@ -223,6 +223,36 @@ def test_run_curate_job_incremental_append_loop(spark, tmp_path):
     assert kept.count() == 4
 
 
+def test_run_curate_job_daily_loop_self_history(spark, tmp_path):
+    """The documented daily loop reads history from the job's OWN
+    curated output and appends to it — a read-modify-write cycle on
+    one table. The fates must be computed BEFORE the append grows the
+    table (a lazily-cached plan recomputed after the append re-fates
+    the freshly appended rows as history dups)."""
+    from pdf_parser_spark.sources import read_table
+
+    out = str(tmp_path / "out")
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    spark.createDataFrame(
+        [("http://d1-a.test/", _isent(30), None),
+         ("http://d1-b.test/", _isent(31), None)],
+        "url string, text string, error string").write.parquet(day1)
+    spark.createDataFrame(
+        [("http://d2-a.test/", _isent(30), None),   # exact dup of day1
+         ("http://d2-b.test/", _isent(32), None)],  # novel
+        "url string, text string, error string").write.parquet(day2)
+
+    run_curate_job(spark, day1, out, run_id="d1")
+    corpus_ref = f"{out}/curated.parquet"
+    res = run_curate_job(spark, day2, out, run_id="d2",
+                         history_ref=corpus_ref)
+    assert res["fates"] == {"exact_dup_hist": 1, "kept": 1}
+    corpus = read_table(spark, corpus_ref)
+    assert corpus.count() == 3
+    assert corpus.select("text").distinct().count() == 3
+
+
 def test_incremental_disjoint_history_changes_nothing(spark):
     """A history with no overlap must reproduce the batch-only fates
     exactly (no spurious _hist drops)."""
