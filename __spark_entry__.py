@@ -1099,6 +1099,47 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: deterministic PII injection so the counters exercise non-zero paths
 #: on the synthetic corpus — the SAME injection runs on both engines.
+#: healthy Gopher-passing sentence unit (trailing space for repeat):
+#: 60 words when repeated 4x, mean word length 3.75, 7 distinct
+#: Gopher stop words, all-alpha, no symbols/bullets/ellipses.
+_GOPHER_S = (
+    "the crawl data must be clean to train and that we have built "
+    "with care "
+)
+
+#: per-rule constructed texts, shared VERBATIM by both engines
+#: (doc_id % 8 selects which gopher_gate rule fires; chr(10)/repeat
+#: verified bit-identical across Spark SQL and DuckDB).
+_GOPHER_INJ_SQL = (
+    f"CASE doc_id % 8 "
+    f"WHEN 1 THEN 'too short text' "
+    f"WHEN 2 THEN repeat('a ', 60) "
+    f"WHEN 3 THEN repeat('{_GOPHER_S}', 4) || repeat(' #', 10) "
+    f"WHEN 4 THEN '- ' || '{_GOPHER_S}' || "
+    f"repeat(chr(10) || '- ' || '{_GOPHER_S}', 9) "
+    f"WHEN 5 THEN '{_GOPHER_S}' || '...' || chr(10) || '{_GOPHER_S}' || "
+    f"chr(10) || '{_GOPHER_S}' || '...' || chr(10) || '{_GOPHER_S}' "
+    f"WHEN 6 THEN repeat('{_GOPHER_S}', 4) || repeat(' 12345', 20) "
+    f"WHEN 7 THEN repeat('lorem ipsum dolor sit amet consectetur "
+    f"adipiscing elit sed eiusmod tempor ', 5) "
+    f"ELSE repeat('{_GOPHER_S}', 4) END"
+)
+
+
+def _q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's full document-quality ruleset (Rae et al. 2021
+    §A.1.1) — symbol ratio, bullet/ellipsis line ratios, alpha-word
+    ratio, distinct-stop-word floor — over constructed texts that fire
+    every rule (functions/textstats.py gopher_gate)."""
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_GOPHER_INJ_SQL} AS t"
+    )
+    g = ts.gopher_gate(F.col("t"))
+    return src.select(
+        "doc_id", g["keep"].alias("keep"), g["reason"].alias("reason")
+    )
+
+
 _PII_INJ_SPARK = None  # built lazily below
 
 
@@ -1873,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_assignment": _q_shuffle_assignment,
         "mix_corpus": _q_mix_corpus,
         "token_budget_sample": _q_token_budget_sample,
+        "gopher_gate": _q_gopher_gate,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2383,6 +2425,11 @@ def oracle_sql() -> dict[str, str]:
             "documents", 60_000, weight_col="n_chars", salt="r4",
             columns="doc_id, lang, n_chars",
         ),
+        "gopher_gate": (
+            lambda g: f"SELECT doc_id, {g['keep']} AS keep, "
+            f"{g['reason']} AS reason FROM (SELECT doc_id, "
+            f"{_GOPHER_INJ_SQL} AS t FROM documents)"
+        )(ts.gopher_gate_sql("t")),
         "pack_blocks": pk.pack_blocks_sql("documents", 256, 16),
         "pii_counts": (
             f"WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents) "

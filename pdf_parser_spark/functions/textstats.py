@@ -329,6 +329,130 @@ def quality_gate_sql(col: str) -> dict:
     return {"keep": f"({reason}) = ''", "reason": reason}
 
 
+#: Gopher's document-level stop-word set (Rae et al. 2021, §A.1.1) —
+#: a doc must contain at least 2 distinct members to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """Gopher's full document-quality ruleset (Rae et al. 2021,
+    §A.1.1) as ONE struct column (keep boolean, reason string = first
+    failing rule or '') — the heavier sibling of :func:`quality_gate`
+    (whose 4 rules are the C4-ish fast path). Rules, in reason
+    precedence order:
+
+    - ``n_words``: word count outside [min_words, max_words]
+    - ``word_len``: mean word length outside [3, 10]
+    - ``symbols``: symbol-to-word ratio ('#' or ellipsis) > 0.1
+    - ``bullets``: > 90% of lines start with a bullet character
+    - ``ellipsis``: > 30% of lines end with an ellipsis
+    - ``alpha_words``: < 80% of words contain an alphabetic character
+    - ``stopwords``: fewer than 2 distinct Gopher stop words present
+
+    Gopher's repetition rules (dup line/paragraph/n-gram fractions)
+    are exposed separately (:func:`repetition_ratio`,
+    operators/spans.py) and compose with this gate. Entirely native
+    expressions — codegen, no UDF, no shuffle; every construct has
+    identical Java-regex/RE2 semantics so :func:`gopher_gate_sql` is
+    bit-exact.
+    """
+    words = F.when(
+        F.trim(col) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(col)), r"\s+"))
+    n_words = F.size(words)
+    mean_wl = _ratio(F.length(col) - (n_words - 1), n_words)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_ell = F.size(F.regexp_extract_all(col, F.lit(r"(\.\.\.|…)"), 0))
+    symbol_ratio = _ratio(n_hash + n_ell, n_words)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = _ratio(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•‣▪]"))),
+        n_lines,
+    )
+    ellipsis_ratio = _ratio(
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))),
+        n_lines,
+    )
+    alpha_word_ratio = _ratio(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))), n_words
+    )
+    n_stop_distinct = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    reason = (
+        F.when((n_words < min_words) | (n_words > max_words),
+               F.lit("n_words"))
+        .when((mean_wl < 3.0) | (mean_wl > 10.0), F.lit("word_len"))
+        .when(symbol_ratio > 0.1, F.lit("symbols"))
+        .when(bullet_ratio > 0.9, F.lit("bullets"))
+        .when(ellipsis_ratio > 0.3, F.lit("ellipsis"))
+        .when(alpha_word_ratio < 0.8, F.lit("alpha_words"))
+        .when(n_stop_distinct < 2, F.lit("stopwords"))
+        .otherwise(F.lit(""))
+    )
+    return F.struct((reason == "").alias("keep"), reason.alias("reason"))
+
+
+def gopher_gate_sql(
+    col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict:
+    words = (
+        f"CASE WHEN trim({col}) = '' THEN [] "
+        f"ELSE string_split_regex(trim(lower({col})), '\\s+') END"
+    )
+    n_words = f"len({words})"
+    r = lambda num, den: (  # noqa: E731
+        f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)/CAST({den} AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    mean_wl = r(f"length({col}) - ({n_words} - 1)", n_words)
+    n_hash = f"length({col}) - length(replace({col}, '#', ''))"
+    n_ell = f"len(regexp_extract_all({col}, '(\\.\\.\\.|…)'))"
+    symbol_ratio = r(f"{n_hash} + {n_ell}", n_words)
+    lines = f"string_split({col}, chr(10))"
+    n_lines = f"len({lines})"
+    bullet_ratio = r(
+        f"len(list_filter({lines},"
+        " l -> regexp_matches(ltrim(l), '^[-*•‣▪]')))",
+        n_lines,
+    )
+    ellipsis_ratio = r(
+        f"len(list_filter({lines},"
+        " l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))",
+        n_lines,
+    )
+    alpha_word_ratio = r(
+        f"len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))",
+        n_words,
+    )
+    sw = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    n_stop_distinct = (
+        f"len(list_filter({sw}, s -> list_contains({words}, s)))"
+    )
+    reason = (
+        f"CASE WHEN ({n_words}) < {min_words} OR ({n_words}) > {max_words} "
+        f"THEN 'n_words' "
+        f"WHEN ({mean_wl}) < 3.0 OR ({mean_wl}) > 10.0 THEN 'word_len' "
+        f"WHEN ({symbol_ratio}) > 0.1 THEN 'symbols' "
+        f"WHEN ({bullet_ratio}) > 0.9 THEN 'bullets' "
+        f"WHEN ({ellipsis_ratio}) > 0.3 THEN 'ellipsis' "
+        f"WHEN ({alpha_word_ratio}) < 0.8 THEN 'alpha_words' "
+        f"WHEN ({n_stop_distinct}) < 2 THEN 'stopwords' "
+        f"ELSE '' END"
+    )
+    return {"keep": f"({reason}) = ''", "reason": reason}
+
+
 # ---------------------------------------------------------------- PII
 
 #: PII detectors a training pipeline runs pre-release (C4 strips

@@ -128,3 +128,37 @@ def test_pii_counts_and_redact(spark, duck):
         f"{ts.pii_redact_sql('t')} AS red FROM (SELECT ? AS t)", [s]
     ).fetchone()
     assert d == (row.e, row.i, row.s, row.red)
+
+
+def test_gopher_gate_rules_and_twin(spark, duck):
+    from pdf_parser_spark.functions import textstats as ts
+
+    healthy = ("the crawl data must be clean to train and that we have "
+               "built with care " * 4)
+    cases = [
+        (healthy, ""),
+        ("too short text", "n_words"),
+        ("a " * 60, "word_len"),
+        (healthy + " #" * 10, "symbols"),
+        ("\n".join(["- " + healthy[:75]] * 10), "bullets"),
+        ("\n".join([healthy + "...", healthy, healthy + "...", healthy]),
+         "ellipsis"),
+        (healthy + " 12345" * 20, "alpha_words"),
+        ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+         "eiusmod tempor " * 5, "stopwords"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    g = ts.gopher_gate(F.col("t"))
+    got = [r.reason for r in
+           df.select(g["reason"].alias("reason")).collect()]
+    assert got == [want for _, want in cases]
+    # keep iff reason == ''
+    keeps = [r.keep for r in df.select(g["keep"].alias("keep")).collect()]
+    assert keeps == [w == "" for _, w in cases]
+    # the DuckDB twin computes the identical verdicts
+    gq = ts.gopher_gate_sql("t")
+    for t, want in cases:
+        d = duck.execute(
+            f"SELECT {gq['reason']} AS r FROM (SELECT ? AS t)", [t]
+        ).fetchone()[0]
+        assert d == want, (t[:40], d, want)
