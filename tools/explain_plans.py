@@ -356,6 +356,26 @@ def main() -> None:
     )
 
     add(
+        "Token-budget sample (final boundary window)",
+        entry._q_token_budget_sample(spark, SF),
+        "Exact 'N tokens' prefix by hash-draw order WITHOUT a global "
+        "sort: the kept set is one contiguous draw range (map-side "
+        "filter; the per-range histogram aggregates that located it "
+        "are driver-resolved and not in this final plan) plus ONE "
+        "window over the boundary range only — n/4096^levels rows in "
+        "a single task at any corpus size.",
+    )
+
+    add(
+        "Gopher-complete quality gate",
+        entry._q_gopher_gate(spark, SF),
+        "The full Rae et al. 2021 document ruleset as ONE native "
+        "struct projection — no UDF, no shuffle, whole-stage codegen "
+        "over the scan; at 100 TB this is a pure map with nothing to "
+        "tune.",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
