@@ -194,6 +194,12 @@ def main() -> None:
           .agg(F.max("bin_id")).collect())
     timed("pii_counts", lambda: entry._q_pii_counts(spark, sf_dir)
           .agg(F.sum("emails"), F.sum("redacted_len")).collect())
+    timed(
+        "token_budget_sample",
+        lambda: entry._q_token_budget_sample(spark, sf_dir).count(),
+    )
+    timed("gopher_gate", lambda: entry._q_gopher_gate(spark, sf_dir)
+          .where("NOT keep").count())
 
     # relational natives
     timed(
