@@ -1140,6 +1140,152 @@ def _q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lit(s: str) -> str:
+    """Engine-shared SQL literal: quotes doubled, newlines rendered as
+    ``|| chr(10) ||`` so the same string parses identically in Spark
+    SQL and DuckDB."""
+    return (
+        "'"
+        + s.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "'"
+    )
+
+
+def _rep_case_texts() -> list:
+    """14 constructed texts: index k fires GOPHER_REPETITION_RULES
+    [k-1], index 0 passes every rule. Integer-exact constructions —
+    e.g. the dup_{n}gram cases are one n-word phrase twice among
+    unique equal-width fillers sized so coverage = 2n/N lands strictly
+    inside (threshold_n, threshold_{n-1}] (all words 6 chars, so the
+    char fraction equals the word-count fraction exactly)."""
+    cases = {0: "the quick brown fox jumps over a lazy dog while birds sing"}
+    cases[1] = (
+        "unique opener line\nrepeated boiler line\n"
+        "repeated boiler line\nrepeated boiler line"
+    )
+    p1 = "\n".join(f"line{c * 6}" for c in "abcde")
+    cases[2] = p1 + "\n\nzz\n\nzz"
+    long = "L" * 200
+    cases[3] = "\n".join(
+        [long, long] + [f"fill{i:02d}xyz{i % 10}" for i in range(8)]
+    )
+    p = "a\nb\nc\nd\ne"
+    cases[4] = p + "\n\n" + p + "\n\nfa\nfb\nfc\nfd\n\nfe\nff\nfg\nfh"
+    cases[5] = ("xx yy " * 30).strip()
+    cyc = " ".join(f"c6{chr(97 + i) * 2}" for i in range(12))
+    cases[6] = " ".join([cyc] * 6)
+    cyc = " ".join(f"c7{chr(97 + i) * 2}" for i in range(16))
+    cases[7] = " ".join([cyc] * 6)
+    for k, (n, total) in enumerate(
+        [(5, 64), (6, 80), (7, 100), (8, 128), (9, 160), (10, 190)]
+    ):
+        phrase = " ".join(f"p{n:02d}{i:03d}" for i in range(n))
+        fill = [f"q{n:02d}{i:03d}" for i in range(total - 2 * n)]
+        a, b = len(fill) // 3, 2 * len(fill) // 3
+        cases[8 + k] = " ".join(
+            fill[:a] + [phrase] + fill[a:b] + [phrase] + fill[b:]
+        )
+    return [cases[i] for i in range(14)]
+
+
+def _rep_inj_sql() -> str:
+    texts = _rep_case_texts()
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_lit(t)}"
+        for i, t in enumerate(texts)
+        if i > 0
+    )
+    return f"CASE doc_id % 14 {whens} ELSE {_sql_lit(texts[0])} END"
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's full repetition ruleset (Rae et al. 2021 §A.1.2) —
+    dup line/paragraph (char) fractions, top 2-4-gram char fraction,
+    dup 5-10-gram char coverage — over constructed texts that fire
+    every one of the 13 rules (functions/textstats.py
+    repetition_signals)."""
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_rep_inj_sql()} AS text"
+    )
+    return ts.repetition_signals(src)
+
+
+_C4_GOOD = "This sentence has clearly more than five words."
+
+
+def _c4_case_texts() -> list:
+    """6 constructed pages: good page, javascript-line page (line
+    dropped, page kept), mostly-unpunctuated page (too_few_lines),
+    lorem-ipsum page, curly-brace page, all-short-lines page."""
+    return [
+        "\n".join([_C4_GOOD] * 6),
+        "\n".join(
+            [_C4_GOOD] * 5
+            + ["Enable JavaScript to view this content."]
+        ),
+        "\n".join(
+            [_C4_GOOD] * 3
+            + ["no terminal punctuation here", "short one.", "Menu"]
+        ),
+        "\n".join(
+            [_C4_GOOD] * 6
+            + ["Filler lorem ipsum dolor sit amet text."]
+        ),
+        "\n".join([_C4_GOOD] * 6) + "\nif (x) { return; }",
+        "one two.\nthree four!\nfive six?\nseven.\neight nine ten.",
+    ]
+
+
+def _c4_inj_sql() -> str:
+    texts = _c4_case_texts()
+    whens = " ".join(
+        f"WHEN {i} THEN {_sql_lit(t)}"
+        for i, t in enumerate(texts)
+        if i > 0
+    )
+    return f"CASE doc_id % 6 {whens} ELSE {_sql_lit(texts[0])} END"
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning rewrite (Raffel et al. 2020 §2.2):
+    terminal-punctuation / min-words / javascript line drops plus
+    lorem-ipsum / curly-brace / too-few-lines page gates, over
+    constructed pages firing every rule (functions/textstats.py
+    c4_clean)."""
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_c4_inj_sql()} AS text"
+    )
+    c = ts.c4_clean(F.col("text"))
+    return src.select(
+        "doc_id",
+        c["clean_text"].alias("clean_text"),
+        c["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        c["keep"].alias("keep"),
+        c["reason"].alias("reason"),
+    )
+
+
+_BOILER_LINE = "This website uses cookies to improve your experience"
+
+_DEDUP_LINES_INJ_SQL = (
+    f"CASE doc_id % 3 "
+    f"WHEN 0 THEN '{_BOILER_LINE}' || chr(10) || text "
+    f"WHEN 1 THEN text || chr(10) || '{_BOILER_LINE}' "
+    f"ELSE text END"
+)
+
+
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (CCNet/Dolma boilerplate killer):
+    a cookie-banner line injected into 2/3 of documents survives only
+    at its globally first (doc_id, position) occurrence
+    (operators/dedup.py dedup_lines)."""
+    src = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_DEDUP_LINES_INJ_SQL} AS text"
+    )
+    return dedup.dedup_lines(src)
+
+
 _PII_INJ_SPARK = None  # built lazily below
 
 
@@ -1915,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "token_budget_sample": _q_token_budget_sample,
         "gopher_gate": _q_gopher_gate,
+        "gopher_repetition": _q_gopher_repetition,
+        "c4_clean": _q_c4_clean,
+        "dedup_lines": _q_dedup_lines,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2430,6 +2579,23 @@ def oracle_sql() -> dict[str, str]:
             f"{g['reason']} AS reason FROM (SELECT doc_id, "
             f"{_GOPHER_INJ_SQL} AS t FROM documents)"
         )(ts.gopher_gate_sql("t")),
+        "gopher_repetition": (
+            f"WITH inj AS MATERIALIZED (SELECT doc_id, "
+            f"{_rep_inj_sql()} AS text FROM documents) "
+            f"SELECT * FROM ({ts.repetition_signals_sql('inj')})"
+        ),
+        "c4_clean": (
+            lambda g: f"WITH inj AS MATERIALIZED (SELECT doc_id, "
+            f"{_c4_inj_sql()} AS text FROM documents) "
+            f"SELECT doc_id, {g['clean_text']} AS clean_text, "
+            f"CAST({g['n_kept_lines']} AS BIGINT) AS n_kept_lines, "
+            f"{g['keep']} AS keep, {g['reason']} AS reason FROM inj"
+        )(ts.c4_clean_sql("text")),
+        "dedup_lines": (
+            f"WITH inj AS MATERIALIZED (SELECT doc_id, "
+            f"{_DEDUP_LINES_INJ_SQL} AS text FROM documents) "
+            f"SELECT * FROM ({dedup.dedup_lines_sql('inj')})"
+        ),
         "pack_blocks": pk.pack_blocks_sql("documents", 256, 16),
         "pii_counts": (
             f"WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents) "

@@ -286,6 +286,343 @@ def repetition_ratio_sql(col: str, n: int = 2) -> str:
     )
 
 
+# ------------------------------------- repetition suite (Gopher A.1.2)
+
+#: (signal name, threshold) in Rae et al. 2021 Table A1 order; a doc
+#: is removed when signal > threshold, and the FIRST exceeded signal
+#: (in this order) is the gate's reason.
+GOPHER_REPETITION_RULES = (
+    ("dup_line_frac", 0.30),
+    ("dup_para_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("dup_para_char_frac", 0.20),
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+    ("dup_5gram_char_frac", 0.15),
+    ("dup_6gram_char_frac", 0.14),
+    ("dup_7gram_char_frac", 0.13),
+    ("dup_8gram_char_frac", 0.12),
+    ("dup_9gram_char_frac", 0.11),
+    ("dup_10gram_char_frac", 0.10),
+)
+
+_L0 = lambda: F.lit(0).cast("long")  # noqa: E731
+
+
+def _sum_lens(els: Column) -> Column:
+    """Sum of element string lengths as BIGINT (0 for [])."""
+    return F.aggregate(els, _L0(), lambda a, x: a + F.length(x))
+
+
+def _dup_elem_exprs(els: Column) -> tuple:
+    """(dup_frac, dup_char_frac) over an element array ATTRIBUTE.
+
+    dup_frac = instances beyond each element's first occurrence / n
+    (Gopher's duplicate line/paragraph fraction); dup_char_frac = the
+    character-weighted variant. O(distinct x n) higher-order scan per
+    row — map-only, no shuffle."""
+    n = F.size(els)
+    dup_frac = _ratio(n - F.size(F.array_distinct(els)), n)
+    dup_chars = F.aggregate(
+        F.array_distinct(els),
+        _L0(),
+        lambda a, e: a
+        + (F.size(F.filter(els, lambda x: x == e)) - 1).cast("long")
+        * F.length(e),
+    )
+    return dup_frac, _ratio(dup_chars, _sum_lens(els))
+
+
+def _trimmed_elems(col: Column, sep_regex: str) -> Column:
+    """Non-empty trimmed segments of `col` split on `sep_regex`."""
+    return F.filter(
+        F.transform(F.split(col, sep_regex), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def _gram_stats(sh: Column) -> Column:
+    """array<struct<c,l>> of (occurrence count, char length) per
+    DISTINCT n-gram of a pre-projected shingle-array attribute."""
+    return F.transform(
+        F.array_distinct(sh),
+        lambda g: F.struct(
+            F.size(F.filter(sh, lambda x: x == g)).alias("c"),
+            F.length(g).alias("l"),
+        ),
+    )
+
+
+def _dup_starts(sh: Column) -> Column:
+    """1-based start positions of shingles that occur >= 2 times."""
+    return F.when(
+        F.size(sh) < 1, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size(sh)),
+            lambda i: F.size(
+                F.filter(sh, lambda x: x == F.element_at(sh, i))
+            )
+            >= 2,
+        )
+    )
+
+
+def repetition_signals(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher's full repetition ruleset (Rae et al. 2021 §A.1.2 /
+    Table A1) per document — the heavy sibling of
+    :func:`repetition_ratio` and the missing half of
+    :func:`gopher_gate`. Returns (id_col, 13 signal doubles, keep,
+    reason):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of line /
+      paragraph instances beyond each distinct value's first
+      occurrence (lines = non-empty trimmed ``\\n`` segments,
+      paragraphs = non-empty trimmed ``\\n{2,}`` segments).
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: the
+      character-weighted variants (duplicate-instance chars / total
+      segment chars).
+    - ``top_{2,3,4}gram_char_frac``: occurrences x char-length of the
+      most frequent word n-gram / total text length; ties broken by
+      max (count, length) — 0 when the top gram occurs once.
+    - ``dup_{5..10}gram_char_frac``: fraction of word characters
+      covered by ANY word position inside an n-gram that occurs >= 2
+      times (overlapping coverage counted once, the paper's exact
+      set-union definition, not the greedy skip approximation).
+
+    Execution shape: three stacked narrow projections (text -> word /
+    line / para / shingle arrays -> per-gram stats + duplicate start
+    positions -> fractions), every stage a native higher-order
+    expression — map-only, NO shuffle, nothing leaves the JVM. The
+    arrays are projected as attributes between stages because Spark
+    re-evaluates a non-attribute expression inside every lambda
+    element (see :func:`repetition_from_shingles`). Per-row cost is
+    O(distinct-grams x grams) — the web-page trade; book-length
+    corpora should switch to the explode+groupBy formulation.
+
+    The gate (keep, reason) applies Table A1's thresholds with reason
+    = first exceeded signal in ``GOPHER_REPETITION_RULES`` order.
+    """
+    from ..operators.dedup import word_shingles
+
+    t = F.col("__t")
+    l1 = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+    ).select(
+        id_col,
+        "__t",
+        F.when(
+            F.trim(t) == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(t), r"\s+")).alias("__words"),
+        _trimmed_elems(t, "\n").alias("__lines"),
+        _trimmed_elems(t, r"\n{2,}").alias("__paras"),
+        *[word_shingles(t, n).alias(f"__sh{n}") for n in range(2, 11)],
+    )
+
+    line_f, line_cf = _dup_elem_exprs(F.col("__lines"))
+    para_f, para_cf = _dup_elem_exprs(F.col("__paras"))
+    l2 = l1.select(
+        id_col,
+        "__t",
+        "__words",
+        _sum_lens(F.col("__words")).alias("__word_chars"),
+        line_f.alias("dup_line_frac"),
+        line_cf.alias("dup_line_char_frac"),
+        para_f.alias("dup_para_frac"),
+        para_cf.alias("dup_para_char_frac"),
+        *[_gram_stats(F.col(f"__sh{n}")).alias(f"__st{n}")
+          for n in (2, 3, 4)],
+        *[_dup_starts(F.col(f"__sh{n}")).alias(f"__ds{n}")
+          for n in range(5, 11)],
+    )
+
+    def top_frac(n: int) -> Column:
+        st = F.col(f"__st{n}")
+        best = F.array_max(st)
+        return (
+            F.when(
+                (F.size(st) > 0) & (best["c"] >= 2),
+                _ratio(best["c"].cast("long") * best["l"], F.length(t)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+        )
+
+    def dup_frac(n: int) -> Column:
+        ds = F.col(f"__ds{n}")
+        words = F.col("__words")
+        covered = F.when(
+            F.size(words) < 1, F.array().cast("array<int>")
+        ).otherwise(
+            F.filter(
+                F.sequence(F.lit(1), F.size(words)),
+                lambda p: F.exists(
+                    ds, lambda i: (p >= i) & (p <= i + (n - 1))
+                ),
+            )
+        )
+        num = F.aggregate(
+            covered, _L0(),
+            lambda a, p: a + F.length(F.element_at(words, p)),
+        )
+        return _ratio(num, F.col("__word_chars")).alias(
+            f"dup_{n}gram_char_frac"
+        )
+
+    sig = l2.select(
+        id_col,
+        "dup_line_frac",
+        "dup_para_frac",
+        "dup_line_char_frac",
+        "dup_para_char_frac",
+        *[top_frac(n) for n in (2, 3, 4)],
+        *[dup_frac(n) for n in range(5, 11)],
+    )
+    reason = F.lit("")
+    for name, thr in reversed(GOPHER_REPETITION_RULES):
+        reason = F.when(F.col(name) > thr, F.lit(name)).otherwise(reason)
+    return sig.select(
+        "*", (reason == "").alias("keep"), reason.alias("reason")
+    )
+
+
+def repetition_signals_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`repetition_signals` — same staged CTEs
+    (MATERIALIZED so constructed-text fixtures aren't re-inlined into
+    every downstream lambda), identical integer arithmetic, so every
+    fraction is the same IEEE double."""
+    from ..operators.dedup import word_shingles_sql
+
+    def elems(sep: str) -> str:
+        return (
+            f"list_filter(list_transform(string_split_regex(t, '{sep}'),"
+            " x -> trim(x)), x -> x <> '')"
+        )
+
+    def sum_lens(els: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({els},"
+            " x -> CAST(length(x) AS BIGINT))), 0)"
+        )
+
+    r = lambda num, den: (  # noqa: E731
+        f"CASE WHEN ({den}) > 0 THEN CAST({num} AS DOUBLE)"
+        f"/CAST({den} AS DOUBLE) ELSE 0.0 END"
+    )
+
+    def dup_elem(els: str) -> tuple:
+        n = f"len({els})"
+        dup_f = r(f"({n}) - len(list_distinct({els}))", n)
+        dup_chars = (
+            f"coalesce(list_sum(list_transform(list_distinct({els}), "
+            f"e -> CAST((len(list_filter({els}, x -> x = e)) - 1)"
+            f" * length(e) AS BIGINT))), 0)"
+        )
+        return dup_f, r(dup_chars, sum_lens(els))
+
+    line_f, line_cf = dup_elem("lines_a")
+    para_f, para_cf = dup_elem("paras_a")
+
+    def gram_stats(sh: str) -> str:
+        return (
+            f"list_transform(list_distinct({sh}), "
+            f"g -> {{'c': len(list_filter({sh}, x -> x = g)),"
+            f" 'l': length(g)}})"
+        )
+
+    def dup_starts(sh: str) -> str:
+        return (
+            f"CASE WHEN len({sh}) < 1 THEN [] "
+            f"ELSE list_filter(generate_series(1, len({sh})), "
+            f"i -> len(list_filter({sh}, x -> x = {sh}[i])) >= 2) END"
+        )
+
+    def top_frac(n: int) -> str:
+        st = f"st{n}"
+        c = f"struct_extract(list_max({st}), 'c')"
+        ln = f"struct_extract(list_max({st}), 'l')"
+        frac = r(f"CAST({c} AS BIGINT) * {ln}", "length(t)")
+        return (
+            f"CASE WHEN len({st}) > 0 AND ({c}) >= 2 THEN {frac} "
+            f"ELSE 0.0 END AS top_{n}gram_char_frac"
+        )
+
+    def dup_frac(n: int) -> str:
+        covered = (
+            f"CASE WHEN len(words_a) < 1 THEN [] "
+            f"ELSE list_filter(generate_series(1, len(words_a)), "
+            f"p -> len(list_filter(ds{n},"
+            f" i -> p >= i AND p <= i + {n - 1})) > 0) END"
+        )
+        num = (
+            f"coalesce(list_sum(list_transform({covered}, "
+            f"p -> CAST(length(words_a[p]) AS BIGINT))), 0)"
+        )
+        return f"{r(num, 'word_chars')} AS dup_{n}gram_char_frac"
+
+    sig_names = [name for name, _ in GOPHER_REPETITION_RULES]
+    reason = "''"
+    for name, thr in reversed(GOPHER_REPETITION_RULES):
+        reason = (
+            f"CASE WHEN {name} > CAST({thr} AS DOUBLE) "
+            f"THEN '{name}' ELSE {reason} END"
+        )
+    sh_cols = ",\n    ".join(
+        f"{word_shingles_sql('t', n)} AS sh{n}" for n in range(2, 11)
+    )
+    st_cols = ",\n    ".join(
+        f"{gram_stats(f'sh{n}')} AS st{n}" for n in (2, 3, 4)
+    )
+    ds_cols = ",\n    ".join(
+        f"{dup_starts(f'sh{n}')} AS ds{n}" for n in range(5, 11)
+    )
+    words = (
+        "CASE WHEN trim(t) = '' THEN [] "
+        "ELSE string_split_regex(trim(t), '\\s+') END"
+    )
+    lines_e = elems("\\n")
+    paras_e = elems("\\n{2,}")
+    return f"""
+WITH l0 AS MATERIALIZED (
+  SELECT {id_col}, {text_col} AS t FROM {table}
+), l1 AS MATERIALIZED (
+  SELECT {id_col}, t,
+    {words} AS words_a,
+    {lines_e} AS lines_a,
+    {paras_e} AS paras_a,
+    {sh_cols}
+  FROM l0
+), l2 AS MATERIALIZED (
+  SELECT {id_col}, t, words_a,
+    {sum_lens('words_a')} AS word_chars,
+    {line_f} AS dup_line_frac,
+    {line_cf} AS dup_line_char_frac,
+    {para_f} AS dup_para_frac,
+    {para_cf} AS dup_para_char_frac,
+    {st_cols},
+    {ds_cols}
+  FROM l1
+), sig AS MATERIALIZED (
+  SELECT {id_col},
+    dup_line_frac, dup_para_frac,
+    dup_line_char_frac, dup_para_char_frac,
+    {top_frac(2)}, {top_frac(3)}, {top_frac(4)},
+    {dup_frac(5)}, {dup_frac(6)}, {dup_frac(7)},
+    {dup_frac(8)}, {dup_frac(9)}, {dup_frac(10)}
+  FROM l2
+)
+SELECT {id_col}, {', '.join(sig_names)},
+  ({reason}) = '' AS keep, {reason} AS reason
+FROM sig
+"""
+
+
 # ---------------------------------------------- cleaning gate (C4-ish)
 
 #: (rule name, in gate order) — first failing rule is the reason
@@ -451,6 +788,80 @@ def gopher_gate_sql(
         f"ELSE '' END"
     )
     return {"keep": f"({reason}) = ''", "reason": reason}
+
+
+# ------------------------------------------------- C4 line-level clean
+
+#: C4's line filter constants (Raffel et al. 2020 §2.2; the TF C4
+#: implementation uses min 5 words/line and min 5 retained
+#: "sentences"/page — we count retained LINES, documented deviation).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 5
+_C4_TERMINAL = r'[.!?"]$'
+
+
+def _c4_kept_lines(col: Column) -> Column:
+    """Trimmed lines that survive C4's line rules: end in terminal
+    punctuation (. ! ? \"), have >= C4_MIN_WORDS_PER_LINE whitespace
+    words, and do not mention 'javascript' (case-insensitive)."""
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+        lambda t: t.rlike(_C4_TERMINAL)
+        & (F.size(F.split(t, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(t).contains("javascript"),
+    )
+
+
+def c4_clean(col: Column) -> Column:
+    """C4's cleaning stage (Raffel et al. 2020 §2.2) as ONE struct
+    column (clean_text, n_kept_lines, keep, reason) — the line-level
+    REWRITE sibling of the document-level gates (:func:`quality_gate`
+    scores, this one edits). Line rules (each dropped line): must end
+    in terminal punctuation, >= 5 words, no 'javascript'. Page rules
+    on the ORIGINAL text, reason precedence: 'lorem_ipsum' (contains
+    lorem ipsum), 'curly_brace' (contains ``{``, code placeholder),
+    'too_few_lines' (< 5 retained lines — C4 counts sentences via a
+    splitter; we count retained lines, see C4_MIN_LINES). Entirely
+    native split/filter/rlike expressions — map-only, no UDF, no
+    shuffle; the twin :func:`c4_clean_sql` is bit-exact."""
+    kept = _c4_kept_lines(col)
+    reason = (
+        F.when(F.lower(col).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(col.contains("{"), F.lit("curly_brace"))
+        .when(F.size(kept) < C4_MIN_LINES, F.lit("too_few_lines"))
+        .otherwise(F.lit(""))
+    )
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).alias("n_kept_lines"),
+        (reason == "").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def c4_clean_sql(col: str) -> dict:
+    """DuckDB twin of :func:`c4_clean` — {field: sql} expressions."""
+    kept = (
+        f"list_filter(list_transform(string_split({col}, chr(10)),"
+        " x -> trim(x)), t -> regexp_matches(t, '[.!?\"]$')"
+        f" AND len(string_split_regex(t, '\\s+'))"
+        f" >= {C4_MIN_WORDS_PER_LINE}"
+        " AND NOT contains(lower(t), 'javascript'))"
+    )
+    reason = (
+        f"CASE WHEN contains(lower({col}), 'lorem ipsum')"
+        " THEN 'lorem_ipsum' "
+        f"WHEN contains({col}, '" + "{" + "') THEN 'curly_brace' "
+        f"WHEN len({kept}) < {C4_MIN_LINES} THEN 'too_few_lines' "
+        "ELSE '' END"
+    )
+    return {
+        # array_to_string([]) is NULL in DuckDB, '' in Spark
+        "clean_text": f"coalesce(array_to_string({kept}, chr(10)), '')",
+        "n_kept_lines": f"len({kept})",
+        "keep": f"({reason}) = ''",
+        "reason": reason,
+    }
 
 
 # ---------------------------------------------------------------- PII

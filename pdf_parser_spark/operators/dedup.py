@@ -739,3 +739,117 @@ WHERE {id_col} NOT IN (
   SELECT doc_id FROM ({clusters}) WHERE cluster_id != doc_id
 )
 """
+
+
+# ----------------------------------------------------- line-level dedup
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """Corpus-WIDE exact line deduplication (the CCNet/Dolma paragraph
+    dedup stage): every distinct trimmed line of >= `min_len` chars is
+    kept only at its globally FIRST occurrence (min (id, position)),
+    and every later instance is removed from its document's text.
+    This is the boilerplate killer — cookie banners, nav menus, and
+    license footers repeat across millions of pages and survive
+    document-level dedup because the surrounding text differs.
+
+    Returns `df` with `text_col` rewritten and an added `n_dropped`
+    (lines removed). Lines shorter than `min_len` (after trim) are
+    never dedup candidates and always survive.
+
+    Plan shape at 100 TB: candidate lines reduce to (md5, id, pos)
+    triples — texts themselves never enter the dedup shuffles. One
+    groupBy on the 16-byte line hash with map-side partial min/count
+    (a line duplicated 10^9 times — "Home" — partially aggregates per
+    partition, so the hot key is skew-safe); the drop-list derivation
+    re-joins the triples on the same hash key (Exchange reuse / AQE);
+    drops collapse to one (id, positions[]) row per AFFECTED document
+    and join back to the table on its id (broadcast when the dup rate
+    is low, and Exchange-free when the documents table is bucketed by
+    id — compose with jobs/bucketize.py). The rewrite itself is a
+    map-only native filter over the split array by position.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).where(F.length(F.trim(F.col("__line"))) >= min_len)
+    keyed = lines.select(
+        "__did", "__pos", F.md5(F.trim(F.col("__line"))).alias("__lh")
+    )
+    firsts = keyed.groupBy("__lh").agg(
+        F.min(F.struct("__did", "__pos")).alias("__first"),
+        F.count("*").alias("__cnt"),
+    )
+    drops = (
+        keyed.join(firsts.where(F.col("__cnt") > 1), "__lh")
+        .where(F.struct("__did", "__pos") != F.col("__first"))
+        .groupBy("__did")
+        .agg(F.collect_set("__pos").alias("__drop"))
+    )
+    joined = df.join(
+        drops, df[id_col] == drops["__did"], "left"
+    )
+    rewritten = F.when(
+        F.col("__drop").isNull(), F.col(text_col)
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda x, i: ~F.array_contains(F.col("__drop"), i),
+            ),
+            "\n",
+        )
+    )
+    n_dropped = F.coalesce(
+        F.size("__drop"), F.lit(0)
+    ).cast("long").alias("n_dropped")
+    keep_cols = [c for c in df.columns if c != text_col]
+    return joined.select(
+        *keep_cols, rewritten.alias(text_col), n_dropped
+    )
+
+
+def dedup_lines_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+    columns: str = "",
+) -> str:
+    """DuckDB twin of :func:`dedup_lines` (window row_number stands in
+    for the min-struct arg-min; identical first-occurrence order).
+    `columns` = extra passthrough columns, comma-led."""
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT {id_col} AS did, {text_col} AS t{columns} FROM {table}
+), lines AS (
+  SELECT did, unnest(generate_series(1, len(ls))) - 1 AS pos,
+         unnest(ls) AS line
+  FROM (SELECT did, string_split(t, chr(10)) AS ls FROM src)
+), ranked AS (
+  SELECT did, pos,
+         row_number() OVER (
+           PARTITION BY md5(trim(line)) ORDER BY did, pos
+         ) AS rn,
+         count(*) OVER (PARTITION BY md5(trim(line))) AS cnt
+  FROM lines WHERE length(trim(line)) >= {min_len}
+), drops AS (
+  SELECT did, list(pos) AS dl FROM ranked
+  WHERE rn > 1 AND cnt > 1 GROUP BY did
+)
+SELECT s.did AS {id_col}{columns},
+  CASE WHEN d.dl IS NULL THEN s.t
+       ELSE coalesce(array_to_string(
+            list_filter(string_split(s.t, chr(10)),
+            (x, i) -> NOT list_contains(d.dl, i - 1)), chr(10)), '') END
+    AS {text_col},
+  CAST(coalesce(len(d.dl), 0) AS BIGINT) AS n_dropped
+FROM src s LEFT JOIN drops d USING (did)
+"""
