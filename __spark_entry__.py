@@ -402,6 +402,15 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): IVF-cluster the
+    embeddings, drop min-id-dominated near-neighbours within each
+    cell. threshold=0.3 so the dominance rule provably fires on the
+    structure-free synthetic embeddings (same grounds as
+    embedding_neardup_pairs)."""
+    return sim.semdedup(_emb(spark, sf_dir), threshold=0.3)
+
+
 def _q_topk_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 analog (reference app.py:143-150): top-3 docs per group by
     quality, deterministic tie-break."""
@@ -2064,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "c4_clean": _q_c4_clean,
         "dedup_lines": _q_dedup_lines,
+        "semdedup": _q_semdedup,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2373,6 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": sim.ivf_topk_sql(k=20),
         "ivf_refined_topk": sim.ivf_refined_topk_sql(k=20, lloyd_iters=2),
         "embedding_neardup_pairs": sim.embedding_neardup_pairs_sql(threshold=0.3),
+        "semdedup": sim.semdedup_sql(threshold=0.3),
         "topk_display": (
             "WITH scored AS (SELECT doc_id, lang, n_chars, "
             f"round({ts.quality_score_sql('text')}, 6) AS q FROM documents) "

@@ -584,6 +584,105 @@ ORDER BY cos_sim DESC, e.{id_col} ASC LIMIT {k}
 """
 
 
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = IVF_K,
+    lloyd_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer, then inside each cluster drop every document that has a
+    LOWER-id neighbour with cosine >= threshold — the deterministic
+    relational relaxation of the paper's greedy within-cluster sweep
+    (the paper keeps one member per duplicate group picked by
+    centroid-distance; min-id dominance keeps the same groups
+    decidable by a single self-join with no sequential state).
+
+    Returns (id, cell, is_dup) for every input row.
+
+    Scale design (100 TB): the only quadratic work is WITHIN a cell —
+    that is the entire point of the clustering pass; pick
+    n_centroids ~ n / target_cell_size so cells stay bounded (FAISS
+    guidance sqrt(n)..n/256), after which the self-join shuffles each
+    cell once on the cell key. The dominated-id list is id-only, and
+    the final marker join is a narrow left join on the persisted
+    assignment — vectors cross exactly one Exchange. This is the
+    sixth dedup family beside md5-exact / MinHash / SimHash /
+    n-gram-Jaccard / embedding-LSH (operators/dedup.py), the one that
+    catches paraphrases sharing no n-grams.
+    """
+    index = ivf_build(df, n_centroids, lloyd_iters, vec_col, id_col)
+    a = index.assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"),
+        F.col("cell"),
+    )
+    b = index.assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"),
+        F.col("cell"),
+    )
+    dominated = (
+        a.join(b, "cell")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6)
+               >= F.lit(threshold))
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        index.assigned.join(
+            dominated.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col), F.col("cell"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semdedup_sql(
+    threshold: float = 0.95,
+    n_centroids: int = IVF_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`semdedup` (lloyd_iters=0): same
+    deterministic codebook / rounded-cosine / lowest-index assignment
+    as ivf_topk_sql, dominance via EXISTS."""
+    cos_ec = cosine_sql(f"e.{vec_col}", "c.cvec")
+    cos_ab = cosine_sql(f"ea.{vec_col}", "eb.{0}".format(vec_col))
+    return f"""
+WITH cent AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS cidx
+  FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n_centroids}
+),
+assign AS (
+  SELECT e.{id_col} AS vid, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round({cos_ec}, 6) DESC, c.cidx ASC
+         ) AS rn
+  FROM {table} e CROSS JOIN cent c
+),
+cells AS (SELECT vid, cidx AS cell FROM assign WHERE rn = 1)
+SELECT ca.vid AS {id_col}, ca.cell,
+       EXISTS (
+         SELECT 1 FROM cells cb
+         JOIN {table} ea ON ea.{id_col} = ca.vid
+         JOIN {table} eb ON eb.{id_col} = cb.vid
+         WHERE cb.cell = ca.cell AND cb.vid < ca.vid
+           AND round({cos_ab}, 6) >= {threshold}
+       ) AS is_dup
+FROM cells ca
+"""
+
+
 def ivf_refined_topk_sql(
     k: int = 10,
     n_centroids: int = IVF_K,

@@ -93,3 +93,47 @@ def test_lloyd_refinement_recall(spark):
     r0 = _recall_at(spark, emb, 20, lloyd_iters=0)
     r2 = _recall_at(spark, emb, 20, lloyd_iters=2)
     assert r0 > 0.3 and r2 > 0.3, (r0, r2)
+
+def test_semdedup_invariants(spark):
+    """semdedup tags every row exactly once; the min-id member of each
+    cell can never be dominated; an impossible threshold flags nothing
+    and threshold -1 flags everything but the per-cell min ids."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    tagged = sim.semdedup(emb, threshold=0.3).collect()
+    assert len(tagged) == n
+    by_cell_min = {}
+    for r in tagged:
+        by_cell_min[r.cell] = min(by_cell_min.get(r.cell, 10**9), r.vec_id)
+    for r in tagged:
+        if r.vec_id == by_cell_min[r.cell]:
+            assert not r.is_dup, r
+    none = sim.semdedup(emb, threshold=1.01).collect()
+    assert not any(r.is_dup for r in none)
+    allbut = sim.semdedup(emb, threshold=-1.0).collect()
+    mins = {min(r.vec_id for r in allbut if r.cell == c)
+            for c in {r.cell for r in allbut}}
+    for r in allbut:
+        assert r.is_dup == (r.vec_id not in mins)
+
+
+def test_semdedup_flags_are_witnessed(spark):
+    """Every flagged dup has a concrete smaller-id in-cell witness with
+    rounded cosine >= threshold (checked by direct recomputation)."""
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60)
+    tau = 0.3
+    tagged = sim.semdedup(emb, threshold=tau)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    rows = tagged.collect()
+    cells = {}
+    for r in rows:
+        cells.setdefault(r.cell, []).append(r.vec_id)
+    dup_rows = [r for r in rows if r.is_dup]
+    assert dup_rows, "threshold 0.3 must fire on the synthetic fixture"
+    for r in dup_rows[:10]:
+        wit = [b for b in cells[r.cell]
+               if b < r.vec_id
+               and round(sim._cos_py(vecs[r.vec_id], vecs[b]), 6) >= tau]
+        assert wit, (r.vec_id, r.cell)
