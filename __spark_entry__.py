@@ -37,6 +37,8 @@ from pdf_parser_spark.functions.chunk import make_chunk_udf
 from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
+from pdf_parser_spark.operators import dsir as _dsir
+from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
 from pdf_parser_spark.operators import packing as pk
@@ -1100,6 +1102,49 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed unigram+
+    bigram bucket models, target = the English subcorpus, raw = the
+    whole documents table (operators/dsir.py)."""
+    from pdf_parser_spark.operators import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_weights(d, d.where(F.col("lang") == "en"),
+                             n_buckets=512)
+
+
+def _q_dsir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-n resample: 100 docs drawn without replacement
+    with probability proportional to the importance weight, fully
+    deterministic (md5 uniforms)."""
+    from pdf_parser_spark.operators import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.dsir_topn(d, d.where(F.col("lang") == "en"), n=100,
+                          n_buckets=512, salt="r4")
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM perplexity (arXiv:1911.00359): hashed bigram bucket
+    model trained on the English subcorpus, every document scored
+    (operators/lm.py)."""
+    from pdf_parser_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    return lm.lm_perplexity(d, d.where(F.col("lang") == "en"),
+                            n_buckets=512)
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language by ascending
+    perplexity (deterministic ntile with doc_id tie-breaks)."""
+    from pdf_parser_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    return lm.perplexity_buckets(d, d.where(F.col("lang") == "en"),
+                                 n_buckets=512)
+
+
 def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: block bin assignment at 256-token capacity,
     16 parallel hash-groups (operators/packing.py)."""
@@ -2074,6 +2119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "dedup_lines": _q_dedup_lines,
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_topn": _q_dsir_topn,
+        "lm_perplexity": _q_lm_perplexity,
+        "ccnet_buckets": _q_ccnet_buckets,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2584,6 +2633,22 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": smp.token_budget_sample_sql(
             "documents", 60_000, weight_col="n_chars", salt="r4",
             columns="doc_id, lang, n_chars",
+        ),
+        "dsir_weights": _dsir.dsir_weights_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+            n_buckets=512,
+        ),
+        "dsir_topn": _dsir.dsir_topn_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+            n=100, n_buckets=512, salt="r4",
+        ),
+        "lm_perplexity": _lm.lm_perplexity_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+            n_buckets=512,
+        ),
+        "ccnet_buckets": _lm.perplexity_buckets_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+            n_buckets=512,
         ),
         "gopher_gate": (
             lambda g: f"SELECT doc_id, {g['keep']} AS keep, "

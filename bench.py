@@ -163,6 +163,8 @@ def main() -> None:
         "emb_neardup",
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),
     )
+    timed("semdedup", lambda: entry._q_semdedup(spark, sf_dir)
+          .where("is_dup").count())
 
     # sampling / packing / PII (map-side or few-shuffle natives)
     timed("hash_sample", lambda: entry._q_hash_sample(spark, sf_dir).count())
@@ -200,6 +202,9 @@ def main() -> None:
     )
     timed("gopher_gate", lambda: entry._q_gopher_gate(spark, sf_dir)
           .where("NOT keep").count())
+    timed("dsir_topn", lambda: entry._q_dsir_topn(spark, sf_dir).collect())
+    timed("lm_perplexity", lambda: entry._q_lm_perplexity(spark, sf_dir)
+          .agg(F.avg("ppl")).collect())
 
     # relational natives
     timed(

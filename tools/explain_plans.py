@@ -109,6 +109,51 @@ def main() -> None:
         "TakeOrderedAndProject, no join, no shuffle, no rebuild.",
     )
 
+    add(
+        "SemDeDup (semantic dedup within embedding clusters)",
+        __import__(
+            "pdf_parser_spark.operators.similarity", fromlist=["similarity"]
+        ).semdedup(
+            spark.read.parquet(f"{SF}/embeddings.parquet"), threshold=0.3
+        ),
+        "The quadratic work is confined WITHIN a cell: vectors cross "
+        "one Exchange on the cell key into the self-join; the "
+        "dominated-id list is id-only and DISTINCT before the marker "
+        "join back onto the persisted assignment. n_centroids bounds "
+        "cell size (pick ~n/target_cell_size at scale), so the pair "
+        "count never goes corpus-quadratic.",
+    )
+
+    from pdf_parser_spark.operators import dsir as _dsir
+
+    add(
+        "DSIR importance weights (hashed n-gram bucket models)",
+        _dsir.dsir_weights(docs, docs.where(F.col("lang") == "en"),
+                           n_buckets=512),
+        "ONE tokenize/explode pass over the raw corpus (per-doc "
+        "bucket counts persisted; q re-aggregates the cache, not the "
+        "corpus) + one pass over the small target; p and q are <= B "
+        "rows each and ride BroadcastExchanges into the weight join; "
+        "the per-doc sum is a partial-combine groupBy on doc_id. "
+        "Texts never shuffle — only (doc_id, bucket, cnt) bigints.",
+    )
+
+    from pdf_parser_spark.operators import lm as _lm
+
+    add(
+        "CCNet LM perplexity (hashed bigram bucket model)",
+        _lm.lm_perplexity(docs, docs.where(F.col("lang") == "en"),
+                          n_buckets=512),
+        "One tokenize/explode pass over the raw corpus into "
+        "(doc_id, pair, cnt) bigints — a bigram is ONE bigint "
+        "prev*B+cur, so nothing but integers shuffles. The model "
+        "(bigram + context counts over the small target) rides "
+        "BroadcastExchanges into the scoring join; the per-doc "
+        "log-likelihood sum is a partial-combine groupBy on doc_id. "
+        "B sizes the broadcast budget; past it the join degrades "
+        "gracefully to a bigint-key shuffle.",
+    )
+
     from pdf_parser_spark.jobs.compact import plan_file_count
 
     add(
