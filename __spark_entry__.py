@@ -37,6 +37,7 @@ from pdf_parser_spark.functions.chunk import make_chunk_udf
 from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
+from pdf_parser_spark.operators import classify as _classify
 from pdf_parser_spark.operators import dsir as _dsir
 from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
@@ -1145,6 +1146,36 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_buckets=512)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style logistic quality classifier (arXiv:2005.14165 App A):
+    binary hashed-gram presence features, 4 full-batch GD steps with
+    per-step 6-dp rounding (cross-engine-exact trajectory), positives =
+    the English subcorpus, negatives = the rest; every document scored
+    (operators/classify.py)."""
+    from pdf_parser_spark.operators import classify
+
+    d = _docs(spark, sf_dir)
+    return classify.quality_classifier_scores(
+        d, d.where(F.col("lang") == "en"), d.where(F.col("lang") != "en"),
+        n_buckets=512,
+    )
+
+
+def _q_pareto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 Pareto keep rule over classifier scores: kept iff a
+    deterministic Pareto(alpha=9) draw exceeds 1 - score — the paper's
+    stochastic threshold that retains a low-score tail
+    (operators/classify.py)."""
+    from pdf_parser_spark.operators import classify
+
+    d = _docs(spark, sf_dir)
+    scored = classify.quality_classifier_scores(
+        d, d.where(F.col("lang") == "en"), d.where(F.col("lang") != "en"),
+        n_buckets=512,
+    )
+    return classify.pareto_select(scored, salt="r4")
+
+
 def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: block bin assignment at 256-token capacity,
     16 parallel hash-groups (operators/packing.py)."""
@@ -2123,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topn": _q_dsir_topn,
         "lm_perplexity": _q_lm_perplexity,
         "ccnet_buckets": _q_ccnet_buckets,
+        "quality_classifier": _q_quality_classifier,
+        "pareto_select": _q_pareto_select,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2649,6 +2682,21 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _lm.perplexity_buckets_sql(
             "documents", "(SELECT * FROM documents WHERE lang = 'en')",
             n_buckets=512,
+        ),
+        "quality_classifier": _classify.quality_classifier_scores_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE lang = 'en')",
+            "(SELECT * FROM documents WHERE lang <> 'en')",
+            n_buckets=512,
+        ),
+        "pareto_select": _classify.pareto_select_sql(
+            _classify.quality_classifier_scores_sql(
+                "documents",
+                "(SELECT * FROM documents WHERE lang = 'en')",
+                "(SELECT * FROM documents WHERE lang <> 'en')",
+                n_buckets=512,
+            ),
+            salt="r4",
         ),
         "gopher_gate": (
             lambda g: f"SELECT doc_id, {g['keep']} AS keep, "

@@ -205,6 +205,8 @@ def main() -> None:
     timed("dsir_topn", lambda: entry._q_dsir_topn(spark, sf_dir).collect())
     timed("lm_perplexity", lambda: entry._q_lm_perplexity(spark, sf_dir)
           .agg(F.avg("ppl")).collect())
+    timed("pareto_select", lambda: entry._q_pareto_select(spark, sf_dir)
+          .where("kept").count())
 
     # relational natives
     timed(

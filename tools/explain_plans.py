@@ -421,6 +421,18 @@ def main() -> None:
     )
 
     add(
+        "GPT-3 quality-classifier scoring pass",
+        entry._q_quality_classifier(spark, SF),
+        "The corpus-scale pass of the classifier (training already "
+        "resolved to a <=513-row broadcast weight table by bounded "
+        "per-step collects): one tokenize/explode over the raw "
+        "corpus, a BroadcastHashJoin against the weights, and a "
+        "partial-combine groupBy on doc_id — texts never shuffle; "
+        "only narrow (doc_id, bucket) pairs cross the two "
+        "aggregation Exchanges (presence agg, per-doc score agg).",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
