@@ -2067,6 +2067,26 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tm.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=10)
 
 
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 via the MATERIALIZED inverted index
+    (jobs/term_index.py): build postings + stats to a per-run tmp
+    path, load them back, serve the query with NO corpus scan or
+    tokenize (plan-audited in tests/test_term_index.py). Must equal
+    the inline `bm25_topk`, so the oracle is the SAME DuckDB twin."""
+    import os
+
+    from pdf_parser_spark.jobs.term_index import (
+        build_term_index, bm25_topk_indexed, load_term_index,
+    )
+
+    path = "/tmp/term_index_{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")), os.getpid()
+    )
+    build_term_index(_docs(spark, sf_dir), path)
+    postings, stats = load_term_index(spark, path)
+    return bm25_topk_indexed(postings, stats, _BM25_QUERY, k=10)
+
+
 def _q_page_graph_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused one-parse links+metadata operator, exploded back to the
     links table — must equal `extract_links` exactly, so it shares
@@ -2129,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": _q_term_df,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
+        "bm25_indexed": _q_bm25_indexed,
         "extract_links": _q_extract_links,
         "page_metadata": _q_page_metadata,
         "page_graph_links": _q_page_graph_links,
@@ -2881,6 +2902,9 @@ r AS (
 SELECT dst, anchor, n, pos FROM r WHERE pos <= 3
 """,
         "bm25_topk": tm.bm25_topk_sql("documents", _BM25_QUERY, k=10),
+        # the index is an implementation detail: the indexed path must
+        # reproduce the inline BM25 exactly, so the twin is identical.
+        "bm25_indexed": tm.bm25_topk_sql("documents", _BM25_QUERY, k=10),
     }
     # the fused one-parse operator must equal the two-pass extractor
     # exactly — same oracle, independently exercised Spark path.

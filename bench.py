@@ -187,6 +187,10 @@ def main() -> None:
     timed("pagerank", lambda: entry._q_pagerank(spark, sf_dir).count())
     timed("cdx_latest", lambda: entry._q_cdx_latest(spark, sf_dir).count())
     timed("bm25_topk", lambda: entry._q_bm25_topk(spark, sf_dir).count())
+    timed(
+        "bm25_indexed",
+        lambda: entry._q_bm25_indexed(spark, sf_dir).count(),
+    )
     timed("mix_corpus", lambda: entry._q_mix_corpus(spark, sf_dir).count())
     timed(
         "stratified_sample",

@@ -421,6 +421,17 @@ def main() -> None:
     )
 
     add(
+        "BM25 over the materialized inverted index",
+        entry._q_bm25_indexed(spark, SF),
+        "Query serving after jobs/term_index.py paid the tokenize "
+        "once: the postings scan carries the pushed `term IN` filter "
+        "(term-clustered files prune at row-group min/max), df "
+        "aggregates over <= |query| terms and broadcasts with the "
+        "1-row stats, and the cut is a TakeOrderedAndProject heap — "
+        "no corpus scan, no tokenize, no global sort.",
+    )
+
+    add(
         "GPT-3 quality-classifier scoring pass",
         entry._q_quality_classifier(spark, SF),
         "The corpus-scale pass of the classifier (training already "
