@@ -37,6 +37,7 @@ from pdf_parser_spark.functions.chunk import make_chunk_udf
 from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
+from pdf_parser_spark.operators import bloom as _bloom
 from pdf_parser_spark.operators import classify as _classify
 from pdf_parser_spark.operators import dsir as _dsir
 from pdf_parser_spark.operators import lm as _lm
@@ -1146,6 +1147,20 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_buckets=512)
 
 
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup vs a history corpus (Dolma/BFF,
+    arXiv:2402.00159): history = even doc_ids, candidates = the whole
+    table; a candidate is maybe_dup iff all k=7 salted md5 bit
+    positions are set in the history filter — fixed-memory incremental
+    dedup with no false negatives (operators/bloom.py)."""
+    from pdf_parser_spark.operators import bloom
+
+    d = _docs(spark, sf_dir)
+    return bloom.bloom_maybe_dup_against(
+        d, d.where(F.col("doc_id") % 2 == 0), salt="r4"
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style logistic quality classifier (arXiv:2005.14165 App A):
     binary hashed-gram presence features, 4 full-batch GD steps with
@@ -2177,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "quality_classifier": _q_quality_classifier,
         "pareto_select": _q_pareto_select,
+        "bloom_dedup": _q_bloom_dedup,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2703,6 +2719,11 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _lm.perplexity_buckets_sql(
             "documents", "(SELECT * FROM documents WHERE lang = 'en')",
             n_buckets=512,
+        ),
+        "bloom_dedup": _bloom.bloom_maybe_dup_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            salt="r4",
         ),
         "quality_classifier": _classify.quality_classifier_scores_sql(
             "documents",

@@ -127,6 +127,11 @@ def main() -> None:
     )
     timed("exact_dedup", lambda: dedup.exact_dedup(docs).count())
     timed(
+        "bloom_dedup",
+        lambda: entry._q_bloom_dedup(spark, sf_dir)
+        .where("maybe_dup").count(),
+    )
+    timed(
         "dup_spans",
         lambda: entry._q_dup_span_stats(spark, sf_dir)
         .agg(F.sum("dup_words")).collect(),
