@@ -40,6 +40,8 @@ from pdf_parser_spark.operators import dedup
 from pdf_parser_spark.operators import bloom as _bloom
 from pdf_parser_spark.operators import classify as _classify
 from pdf_parser_spark.operators import dsir as _dsir
+from pdf_parser_spark.functions import normalize as _normalize
+from pdf_parser_spark.functions import mojibake as _mojibake
 from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
@@ -1147,6 +1149,56 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_buckets=512)
 
 
+#: deterministic unicode injection so normalization exercises every
+#: rule on the ASCII synthetic corpus — the SAME literals wrap the
+#: text on both engines (accent fold, curly quotes, em-dash, digit
+#: fold, NBSP + whitespace collapse).
+_NORM_PREFIX = "ÀéÎ “Café” — 2024…  "
+_NORM_SUFFIX = " «Słub» ‘ńo’  42"
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet text normalization (arXiv:1911.00359): lowercase, fixed-
+    table accent/punct folding, digits to 0, whitespace collapse —
+    one native codegen projection, the canonical form the dedup
+    families hash (functions/normalize.py)."""
+    from pdf_parser_spark.functions.normalize import normalize_text
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        normalize_text(
+            F.concat(F.lit(_NORM_PREFIX), F.col("text"),
+                     F.lit(_NORM_SUFFIX))
+        ).alias("norm_text"),
+    )
+
+
+#: deterministic mojibake injection (UTF-8 shown as cp1252) wrapping
+#: the ASCII corpus — 2-byte accent, 3-byte punctuation, and an
+#: NBSP-continuation sequence, so every branch of the repair table
+#: fires; computed from the module's own sloppy-decode helper so the
+#: literals provably ARE mojibake of the intended text.
+_MOJI_PREFIX = _mojibake._sloppy_cp1252(
+    "Café — ‘déjà’… ".encode("utf-8"))
+_MOJI_SUFFIX = _mojibake._sloppy_cp1252(
+    " «naïve» •2024™".encode("utf-8"))
+
+
+def _q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (functions/mojibake.py): undo
+    UTF-8-read-as-cp1252 before normalization/dedup.  The graded twin
+    uses the engine-portable generated replace table; the native
+    translate→encode→decode scale path is pinned equivalent in
+    tests/test_mojibake.py."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        _mojibake.fix_mojibake_portable(
+            F.concat(F.lit(_MOJI_PREFIX), F.col("text"),
+                     F.lit(_MOJI_SUFFIX))
+        ).alias("fixed_text"),
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2193,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "pareto_select": _q_pareto_select,
         "bloom_dedup": _q_bloom_dedup,
+        "normalize_text": _q_normalize_text,
+        "fix_mojibake": _q_fix_mojibake,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2720,6 +2774,16 @@ def oracle_sql() -> dict[str, str]:
             "documents", "(SELECT * FROM documents WHERE lang = 'en')",
             n_buckets=512,
         ),
+        "normalize_text": (
+            lambda e: f"SELECT doc_id, {e} AS norm_text FROM (SELECT "
+            f"doc_id, {_sql_lit(_NORM_PREFIX)} || text || "
+            f"{_sql_lit(_NORM_SUFFIX)} AS t FROM documents)"
+        )(_normalize.normalize_text_sql("t")),
+        "fix_mojibake": (
+            lambda e: f"SELECT doc_id, {e} AS fixed_text FROM (SELECT "
+            f"doc_id, {_sql_lit(_MOJI_PREFIX)} || text || "
+            f"{_sql_lit(_MOJI_SUFFIX)} AS t FROM documents)"
+        )(_mojibake.fix_mojibake_sql("t")),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
