@@ -42,6 +42,7 @@ from pdf_parser_spark.operators import classify as _classify
 from pdf_parser_spark.operators import dsir as _dsir
 from pdf_parser_spark.functions import normalize as _normalize
 from pdf_parser_spark.functions import mojibake as _mojibake
+from pdf_parser_spark.jobs import report as _report
 from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
@@ -1199,6 +1200,16 @@ def _q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus telemetry (jobs/report.py): one cube(lang, source) pass
+    emitting doc/char/token mass, exact-median tokens, mean quality,
+    distinct-text count and dup rate at all four rollup levels — the
+    per-shard statistics table a curation run publishes."""
+    from pdf_parser_spark.jobs.report import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2247,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "normalize_text": _q_normalize_text,
         "fix_mojibake": _q_fix_mojibake,
+        "corpus_report": _q_corpus_report,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2784,6 +2796,7 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id, {_sql_lit(_MOJI_PREFIX)} || text || "
             f"{_sql_lit(_MOJI_SUFFIX)} AS t FROM documents)"
         )(_mojibake.fix_mojibake_sql("t")),
+        "corpus_report": _report.corpus_report_sql("documents"),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
