@@ -1210,6 +1210,22 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_docs(spark, sf_dir))
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/sampling.py): the label is a pure function of
+    (doc_id, salt) via integer cut points over the md5 draw, so a
+    document can never migrate between splits as the corpus grows —
+    the stability `randomSplit` lacks."""
+    from pdf_parser_spark.operators.sampling import dataset_split
+
+    return dataset_split(
+        _docs(spark, sf_dir), _SPLIT_FRACTIONS
+    ).select("doc_id", "split")
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2259,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "fix_mojibake": _q_fix_mojibake,
         "corpus_report": _q_corpus_report,
+        "dataset_split": _q_dataset_split,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2797,6 +2814,9 @@ def oracle_sql() -> dict[str, str]:
             f"{_sql_lit(_MOJI_SUFFIX)} AS t FROM documents)"
         )(_mojibake.fix_mojibake_sql("t")),
         "corpus_report": _report.corpus_report_sql("documents"),
+        "dataset_split": smp.dataset_split_sql(
+            "documents", _SPLIT_FRACTIONS, columns="doc_id"
+        ),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",

@@ -95,6 +95,72 @@ def hash_sample_sql(
     )
 
 
+def split_cutpoints(fractions: dict) -> list:
+    """Cumulative integer cut points for a labeled partition of the
+    hash space — computed once driver-side, so both engines compare
+    against identical int literals.  Fractions must sum to 1 (the last
+    label absorbs integer-rounding residue up to HASH_SPACE)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cuts, acc = [], 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        if fractions[label] <= 0:
+            raise ValueError(f"fraction for {label!r} must be positive")
+        acc += fractions[label]
+        cuts.append((label, int(acc * HASH_SPACE)))
+    cuts.append((labels[-1], HASH_SPACE))
+    return cuts
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: dict,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: label each row by
+    where hash_draw(key, salt) falls among the cumulative cut points.
+
+    The assignment is a pure function of (key, salt) — stable under
+    corpus growth, resumes, repartitioning, and cluster size, so a
+    document can NEVER migrate between splits across pipeline runs
+    (the property `randomSplit` lacks).  Leakage control is the
+    caller's choice of `key_col`: key by the dedup identity
+    (canonical url, content fingerprint) and near-identical documents
+    land on the same side of the split.  Map-only — no shuffle.
+    """
+    cuts = split_cutpoints(fractions)
+    draw = hash_draw(F.col(key_col), salt)
+    expr = F.lit(cuts[-1][0])
+    for label, cut in reversed(cuts[:-1]):
+        expr = F.when(draw < cut, F.lit(label)).otherwise(expr)
+    return df.withColumn(label_col, expr)
+
+
+def dataset_split_sql(
+    table: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    label_col: str = "split",
+    columns: str = "*",
+) -> str:
+    cuts = split_cutpoints(fractions)
+    draw = hash_draw_sql(key_col, salt)
+    whens = " ".join(
+        f"WHEN {draw} < {cut} THEN '{label}'" for label, cut in cuts[:-1]
+    )
+    return (
+        f"SELECT {columns}, CASE {whens} ELSE '{cuts[-1][0]}' END "
+        f"AS {label_col} FROM {table}"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_key: int,

@@ -210,3 +210,57 @@ def test_stratified_rejects_bad_args(corpus):
     with pytest.raises(ValueError, match="strata"):
         stratified_sample(
             corpus, 2, key_col="doc_id", keys_broadcast_limit=10)
+
+
+def test_dataset_split_partition_and_stability(corpus):
+    from pdf_parser_spark.operators.sampling import dataset_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = dataset_split(corpus, fr).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert sum(counts.values()) == 6000  # exact partition, no row lost
+    assert 0.75 < counts["train"] / 6000 < 0.85
+    assert 0.07 < counts["val"] / 6000 < 0.13
+    # assignment is a pure function of (key, salt): stable across runs
+    a = dataset_split(corpus, fr).select("doc_id", "split").collect()
+    b = dataset_split(corpus, fr).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and stable under corpus growth: a subset sees identical labels
+    sub = {
+        (r.doc_id, r.split)
+        for r in dataset_split(corpus.limit(1000), fr)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert sub <= {(r.doc_id, r.split) for r in a}
+
+
+def test_dataset_split_rejects_bad_fractions(corpus):
+    from pdf_parser_spark.operators.sampling import dataset_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(corpus, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError, match="positive"):
+        dataset_split(corpus, {"train": -0.1, "val": 1.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        dataset_split(corpus, {})
+
+
+def test_dataset_split_duckdb_twin(corpus):
+    import duckdb
+
+    from pdf_parser_spark.operators.sampling import (
+        dataset_split,
+        dataset_split_sql,
+    )
+
+    fr = {"train": 0.9, "test": 0.1}
+    rows = [(r.doc_id, r.split)
+            for r in dataset_split(corpus, fr).select("doc_id", "split")
+            .collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(6000)])
+    oracle = con.execute(
+        dataset_split_sql("t", fr, columns="doc_id")).fetchall()
+    assert sorted(oracle) == sorted(rows)
