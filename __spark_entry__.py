@@ -43,6 +43,7 @@ from pdf_parser_spark.operators import dsir as _dsir
 from pdf_parser_spark.functions import normalize as _normalize
 from pdf_parser_spark.functions import mojibake as _mojibake
 from pdf_parser_spark.jobs import report as _report
+from pdf_parser_spark.sources import robots as _robots
 from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
@@ -1226,6 +1227,86 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+#: deterministic robots fixture: 50 hosts derived from doc_id, three
+#: body shapes (grouped rules + specific agent; comment/empty-disallow
+#: noise; empty file), exercising every parser branch.
+_ROBOTS_TXT_A = (
+    "# politeness\nUser-agent: *\nDisallow: /private\n"
+    "Allow: /private/ok\n\nUser-agent: fancybot\nDisallow: /\n"
+)
+_ROBOTS_TXT_B = (
+    "Disallow: /orphan\nUser-agent: *\nDisallow:\n"
+    "Crawl-delay: 10\nDisallow: /tmp  # note\n"
+)
+
+
+def _robots_fixture(spark: SparkSession, sf_dir: str):
+    hid = F.col("hid")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 50).alias("hid"))
+        .distinct()
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), hid, F.lit(".example.com")).alias("host"),
+        F.when(hid % 3 == 0, F.lit(_ROBOTS_TXT_A))
+        .when(hid % 3 == 1, F.lit(_ROBOTS_TXT_B))
+        .otherwise(F.lit(""))
+        .alias("robots_txt"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://h"),
+            F.col("doc_id") % 50,
+            F.lit(".example.com"),
+            F.element_at(
+                F.array(
+                    F.lit("/private/ok/a"), F.lit("/private/x"),
+                    F.lit("/public?x=1"), F.lit("/tmp/z"), F.lit(""),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("url")
+    )
+    return robots, pages
+
+
+_ROBOTS_SQL = """(
+  SELECT 'h' || hid || '.example.com' AS host,
+         CASE WHEN hid % 3 = 0 THEN {a}
+              WHEN hid % 3 = 1 THEN {b}
+              ELSE '' END AS robots_txt
+  FROM (SELECT DISTINCT doc_id % 50 AS hid FROM documents)
+) AS rsrc"""
+
+_PAGES_SQL = """(
+  SELECT 'https://h' || (doc_id % 50) || '.example.com' ||
+         (['/private/ok/a', '/private/x', '/public?x=1', '/tmp/z',
+           ''])[CAST(doc_id % 5 + 1 AS INTEGER)] AS url
+  FROM documents
+) AS psrc"""
+
+
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse (sources/robots.py, RFC 9309): bodies → typed
+    (host, group_id, agent, rule, path) rules — native split/regexp +
+    one running-sum window for group assignment."""
+    from pdf_parser_spark.sources.robots import parse_robots
+
+    robots, _ = _robots_fixture(spark, sf_dir)
+    return parse_robots(robots)
+
+
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness gate (sources/robots.py): per-URL allow/deny for a
+    specific agent — RFC group shadowing, longest-match, allow-wins —
+    as one broadcast host join + per-URL window."""
+    from pdf_parser_spark.sources.robots import parse_robots, robots_allowed
+
+    robots, pages = _robots_fixture(spark, sf_dir)
+    return robots_allowed(pages, parse_robots(robots), agent="fancybot")
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2276,6 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": _q_fix_mojibake,
         "corpus_report": _q_corpus_report,
         "dataset_split": _q_dataset_split,
+        "robots_rules": _q_robots_rules,
+        "robots_gate": _q_robots_gate,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2816,6 +2899,20 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _report.corpus_report_sql("documents"),
         "dataset_split": smp.dataset_split_sql(
             "documents", _SPLIT_FRACTIONS, columns="doc_id"
+        ),
+        "robots_rules": _robots.parse_robots_sql(
+            _ROBOTS_SQL.format(
+                a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
+            )
+        ),
+        "robots_gate": _robots.robots_allowed_sql(
+            _PAGES_SQL,
+            _robots.parse_robots_sql(
+                _ROBOTS_SQL.format(
+                    a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
+                )
+            ),
+            agent="fancybot",
         ),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
