@@ -44,6 +44,7 @@ from pdf_parser_spark.functions import normalize as _normalize
 from pdf_parser_spark.functions import mojibake as _mojibake
 from pdf_parser_spark.jobs import report as _report
 from pdf_parser_spark.sources import robots as _robots
+from pdf_parser_spark.jobs import frontier as _frontier
 from pdf_parser_spark.operators import lm as _lm
 from pdf_parser_spark.operators import graph as gr
 from pdf_parser_spark.operators import multimodal as mm
@@ -1307,6 +1308,21 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(pages, parse_robots(robots), agent="fancybot")
 
 
+def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier fetch plan (jobs/frontier.py): robots-gated
+    urls ranked into politeness waves (≤1 url per host per wave,
+    exact per-host quota via the stratified hash-threshold prune —
+    never a full mega-host sort)."""
+    from pdf_parser_spark.jobs.frontier import frontier_schedule
+    from pdf_parser_spark.sources.robots import parse_robots
+
+    robots, pages = _robots_fixture(spark, sf_dir)
+    return frontier_schedule(
+        pages, rules=parse_robots(robots), agent="fancybot",
+        per_host_limit=3, salt="fr",
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2359,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "robots_rules": _q_robots_rules,
         "robots_gate": _q_robots_gate,
+        "frontier_schedule": _q_frontier_schedule,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2913,6 +2930,17 @@ def oracle_sql() -> dict[str, str]:
                 )
             ),
             agent="fancybot",
+        ),
+        "frontier_schedule": _frontier.frontier_schedule_sql(
+            _PAGES_SQL,
+            _robots.parse_robots_sql(
+                _ROBOTS_SQL.format(
+                    a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
+                )
+            ),
+            agent="fancybot",
+            per_host_limit=3,
+            salt="fr",
         ),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
