@@ -48,6 +48,18 @@ from ..operators.sampling import hash_draw, keep_threshold
 from ..sources.catalog import append_table, read_table
 
 
+def canonical_text(col):
+    """The dedup-canonical form of a text column: mojibake repair
+    (functions/mojibake.py) then CCNet normalization
+    (functions/normalize.py) — so "Café—2024" and its cp1252-wrecked
+    or reskinned variants hash together.  Pure native expressions;
+    composes in front of every dedup family."""
+    from ..functions.mojibake import fix_mojibake
+    from ..functions.normalize import normalize_text
+
+    return normalize_text(fix_mojibake(col))
+
+
 def curate_documents(
     docs: DataFrame,
     url_col: str = "url",
@@ -58,6 +70,7 @@ def curate_documents(
     redact_pii: bool = False,
     sample_rate: Optional[float] = None,
     salt: str = "curate",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Tag every document with its curation fate; returns the input
     columns plus ``doc_id``, ``canon_url`` and ``fate``. Kept rows
@@ -70,7 +83,14 @@ def curate_documents(
     negligible, where a 64-bit key would alias tens of thousands of
     row pairs and silently drop/keep the wrong document in every fate
     join. Dedup keepers are the MIN doc_id of each group, so a
-    caller-supplied id also fixes which duplicate survives."""
+    caller-supplied id also fixes which duplicate survives.
+
+    ``canonicalize=True`` makes the exact- and near-dedup stages hash
+    the :func:`canonical_text` form (mojibake repair + CCNet
+    normalization) instead of the raw text, so trivially-reskinned
+    duplicates ("Café—2024" vs "cafe-0000" vs the cp1252-wrecked
+    variant) collapse; the quality gate, PII redaction, and the OUTPUT
+    text stay raw."""
     d = docs.withColumn("canon_url", ur.canonical_url(F.col(url_col)))
     if id_col is None:
         d = d.withColumn("doc_id", F.md5(F.col(url_col)))
@@ -93,6 +113,9 @@ def curate_documents(
     # those branches re-runs the quality-gate expressions and the
     # upstream scan (the multi-consumer re-scan trap; at 100 TB this
     # is a disk-backed persist or an explicit staging table).
+    dt = "_ct" if canonicalize else text_col
+    if canonicalize:
+        d = d.withColumn("_ct", canonical_text(F.col(text_col)))
     d = persisted(d.withColumn("_pre", pre))
 
     # URL-level dedup over pre-stage survivors: keep the bytewise-min
@@ -109,9 +132,9 @@ def curate_documents(
 
     # exact text dedup over survivors: keep min doc_id per md5 group.
     s1 = d.where(F.col("_pre").isNull() & F.col("_url_dup").isNull())
-    groups = exact_dup_groups(s1, text_col=text_col, id_col="doc_id")
+    groups = exact_dup_groups(s1, text_col=dt, id_col="doc_id")
     exact_drop = (
-        s1.select(F.md5(F.col(text_col)).alias("fingerprint"), "doc_id")
+        s1.select(F.md5(F.col(dt)).alias("fingerprint"), "doc_id")
         .join(groups.where(F.col("n_docs") > 1)
               .select("fingerprint", "keeper"), "fingerprint")
         .where(F.col("doc_id") != F.col("keeper"))
@@ -126,7 +149,7 @@ def curate_documents(
             & F.col("_url_dup").isNull()
             & F.col("_exact_dup").isNull()
         )
-        pairs = minhash_lsh_candidates(s2, text_col=text_col,
+        pairs = minhash_lsh_candidates(s2, text_col=dt,
                                        id_col="doc_id")
         labels = dedup_clusters(pairs)
         near_drop = (
@@ -146,7 +169,7 @@ def curate_documents(
         F.lit("kept"),
     )
     out = d.withColumn("fate", fate).drop(
-        "_pre", "_url_dup", "_exact_dup", "_near_dup"
+        "_pre", "_url_dup", "_exact_dup", "_near_dup", "_ct"
     )
     if sample_rate is not None:
         # sampling is part of the fate story too: kept docs losing the
@@ -178,6 +201,7 @@ def curate_documents_incremental(
     id_col: Optional[str] = None,
     near_dedup: bool = True,
     history_band_index: Optional[DataFrame] = None,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Curate a NEW crawl increment against an EXISTING corpus — the
     daily workflow at 10^12 rows, where re-curating the whole corpus
@@ -207,6 +231,12 @@ def curate_documents_incremental(
     tables with the same ``MAX_BUCKET`` degenerate-bucket cap as the
     in-batch path (a boilerplate band key shared by >MAX_BUCKET docs
     is dropped, not joined — observable, never quadratic).
+
+    ``canonicalize=True`` hashes :func:`canonical_text` on BOTH sides
+    of every text-dedup probe (in-batch and vs history).  A supplied
+    ``history_band_index`` must then have been materialized over the
+    same canonical form — the caller owns that consistency, exactly as
+    with any persisted index vs its query-time key derivation.
     """
     from ..operators.dedup import MAX_BUCKET, band_table
 
@@ -226,6 +256,9 @@ def curate_documents_incremental(
         .when(F.trim(F.col(text_col)) == "", F.lit("quality:empty"))
         .when(~gate["keep"], F.concat(F.lit("quality:"), gate["reason"]))
     )
+    dt = "_ct" if canonicalize else text_col
+    if canonicalize:
+        d = d.withColumn("_ct", canonical_text(F.col(text_col)))
     d = persisted(d.withColumn("_pre", pre))
 
     # URL vs history: canonical url already in the corpus. Semi-join
@@ -252,14 +285,18 @@ def curate_documents_incremental(
     d = d.join(url_drop, "doc_id", "left")
 
     # exact text vs history: 16-byte fingerprint semi-join
-    hfp = history.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
+    _htext = (
+        canonical_text(F.col(text_col)) if canonicalize
+        else F.col(text_col)
+    )
+    hfp = history.select(F.md5(_htext).alias("_fp")).distinct()
     s2 = d.where(
         F.col("_pre").isNull()
         & F.col("_url_hist").isNull()
         & F.col("_url_dup").isNull()
     )
     eh_drop = (
-        s2.select(F.md5(F.col(text_col)).alias("_fp"), "doc_id")
+        s2.select(F.md5(F.col(dt)).alias("_fp"), "doc_id")
         .join(hfp, "_fp", "left_semi")
         .select("doc_id").withColumn("_exact_hist", F.lit(True))
     )
@@ -272,9 +309,9 @@ def curate_documents_incremental(
         & F.col("_url_dup").isNull()
         & F.col("_exact_hist").isNull()
     )
-    groups = exact_dup_groups(s3, text_col=text_col, id_col="doc_id")
+    groups = exact_dup_groups(s3, text_col=dt, id_col="doc_id")
     exact_drop = (
-        s3.select(F.md5(F.col(text_col)).alias("fingerprint"), "doc_id")
+        s3.select(F.md5(F.col(dt)).alias("fingerprint"), "doc_id")
         .join(groups.where(F.col("n_docs") > 1)
               .select("fingerprint", "keeper"), "fingerprint")
         .where(F.col("doc_id") != F.col("keeper"))
@@ -300,12 +337,13 @@ def curate_documents_incremental(
             if history_band_index is not None
             else band_table(
                 history.select(
-                    F.md5(F.col(url_col)).alias("doc_id"), text_col
+                    F.md5(F.col(url_col)).alias("doc_id"),
+                    _htext.alias(dt),
                 ),
-                text_col, "doc_id",
+                dt, "doc_id",
             )
         )
-        nbands = persisted(band_table(s4, text_col, "doc_id"))
+        nbands = persisted(band_table(s4, dt, "doc_id"))
         both = nbands.select(
             "doc_id", "band_key", F.lit(False).alias("_hist")
         ).unionByName(
@@ -338,7 +376,7 @@ def curate_documents_incremental(
             & F.col("_exact_dup").isNull()
             & F.col("_near_hist").isNull()
         )
-        pairs = minhash_lsh_candidates(s5, text_col=text_col,
+        pairs = minhash_lsh_candidates(s5, text_col=dt,
                                        id_col="doc_id")
         labels = dedup_clusters(pairs)
         near_drop = (
@@ -364,7 +402,7 @@ def curate_documents_incremental(
     )
     return d.withColumn("fate", fate).drop(
         "_pre", "_url_hist", "_url_dup", "_exact_hist", "_exact_dup",
-        "_near_hist", "_near_dup",
+        "_near_hist", "_near_dup", "_ct",
     )
 
 

@@ -269,3 +269,43 @@ def test_incremental_disjoint_history_changes_nothing(spark):
         for r in curate_documents_incremental(_docs(spark), hist).collect()
     }
     assert incr == batch_only
+
+
+def test_canonicalize_collapses_reskinned_duplicates(spark):
+    from pdf_parser_spark.functions.mojibake import _sloppy_cp1252
+    from pdf_parser_spark.jobs.curate import curate_documents_incremental
+
+    base = _sent(11)
+    reskinned = "CAFÉ " + base.upper() + " — 2024"
+    wrecked = _sloppy_cp1252(("Café " + base + " — 2024").encode("utf-8"))
+    rows = [
+        ("http://c.test/raw", "Cafe " + base + " - 0000", None),
+        ("http://c.test/skin", reskinned, None),
+        ("http://c.test/moji", wrecked, None),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, error string")
+    # raw hashing: three distinct byte strings — exact dedup must NOT
+    # fire (near-dup may still link the shingle-similar pair; the
+    # keeper is the min-doc_id pick, not necessarily the clean form)
+    raw = {r.url: r.fate for r in curate_documents(docs).collect()}
+    assert "exact_dup" not in raw.values()
+    # canonical hashing: all three collapse to ONE exact group
+    canon = {
+        r.url: r.fate
+        for r in curate_documents(docs, canonicalize=True).collect()
+    }
+    assert sorted(canon.values()) == ["exact_dup", "exact_dup", "kept"]
+
+    # incremental: history holds the clean form; every reskinned
+    # newcomer is an exact_dup_hist
+    hist = spark.createDataFrame(
+        [("http://h.test/clean", "Cafe " + base + " - 0000")],
+        "url string, text string",
+    )
+    inc = {
+        r.url: r.fate
+        for r in curate_documents_incremental(
+            docs, hist, canonicalize=True
+        ).collect()
+    }
+    assert set(inc.values()) == {"exact_dup_hist"}
