@@ -38,6 +38,9 @@ from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
 from pdf_parser_spark.jobs.extract import extract_documents
 from pdf_parser_spark.operators import dedup
 from pdf_parser_spark.operators import bloom as _bloom
+from pdf_parser_spark.operators import bpe as _bpe
+from pdf_parser_spark.operators import events as _ev
+from pdf_parser_spark.operators import sketches as _sk
 from pdf_parser_spark.operators import classify as _classify
 from pdf_parser_spark.operators import dsir as _dsir
 from pdf_parser_spark.functions import normalize as _normalize
@@ -1323,6 +1326,157 @@ def _q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (operators/
+    events.py): one user-window pass + one (user, session) aggregate;
+    only (user, micros, value) triples shuffle."""
+    from pdf_parser_spark.operators import events as ev
+
+    return ev.sessionize(_events(spark, sf_dir), gap_secs=900)
+
+
+def _q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each click joined to the user's
+    latest view at-or-before it — the union + last_value(IGNORE NULLS)
+    ASOF plan (one key shuffle, no range join; operators/events.py).
+    Twin mirrors the same plan; a separate pytest cross-checks it
+    against DuckDB's native ASOF JOIN."""
+    from pdf_parser_spark.operators import events as ev
+
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+    )
+    return ev.asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="view_ts",
+        right_cols=["view_id"], right_tie="view_id",
+    ).select("event_id", "user_id", "view_id", "asof_ts_us")
+
+
+#: funnel definition for the window-funnel query: the classic
+#: view -> click -> purchase ordered chain, one-day completion window.
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW_SECS = 86_400
+
+
+def _q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel over the events table
+    (operators/events.py): per-step running-max DP on ONE user-key
+    sort — k window passes, one shuffle, nothing quadratic."""
+    from pdf_parser_spark.operators import events as ev
+
+    return ev.window_funnel(
+        _events(spark, sf_dir), _FUNNEL_STEPS, _FUNNEL_WINDOW_SECS
+    )
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/events.py): signup
+    cohorts x period offsets, epoch-integer period arithmetic so both
+    engines bucket identically."""
+    from pdf_parser_spark.operators import events as ev
+
+    return ev.retention(
+        _events(spark, sf_dir), cohort_type="signup", period_days=7
+    )
+
+
+#: fixed probe terms for the count-min query (drawn from the synthetic
+#: vocabulary plus one guaranteed miss).
+_CMS_TERMS = ["spark", "table", "row", "value", "window", "qqq-missing"]
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point estimates (operators/
+    sketches.py): the sketch shuffle is capped at depth x width cells
+    whatever the corpus size; terms broadcast against it."""
+    from pdf_parser_spark.operators import sketches as sk
+
+    cms = sk.cms_build(_docs(spark, sf_dir), depth=4, width=1024)
+    return sk.cms_estimate(cms, _CMS_TERMS, depth=4, width=1024)
+
+
+#: doc-length histogram shape shared by query + oracle.
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 4000.0, 32
+_HIST_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def _q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of document length (operators/
+    sketches.py): the bin groupBy is capped at n_bins+2 keys (map-side
+    combine makes the shuffle constant-size at 100 TB), then the
+    bounded cumulative walk interpolates the quantiles — the
+    deterministic, cross-engine twin of percentile_approx."""
+    from pdf_parser_spark.operators import sketches as sk
+
+    lens = _docs(spark, sf_dir).select(F.length("text").alias("x"))
+    h = sk.histogram(lens, "x", _HIST_LO, _HIST_HI, n_bins=_HIST_BINS)
+    return sk.hist_quantiles(h, _HIST_QS, n_bins=_HIST_BINS)
+
+
+def _q_hll_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word estimate over the corpus (operators/
+    sketches.py): one max-combinable bucket groupBy (<= 2^b rows out)
+    + a 1-row final aggregate — the portable, oracle-checkable twin of
+    approx_count_distinct, with exact distinct alongside for scale
+    context (the exact path is the expensive one at 100 TB)."""
+    from pdf_parser_spark.operators import sketches as sk
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+    return sk.hll_distinct(words, "w", b=9).crossJoin(
+        F.broadcast(
+            words.agg(F.count_distinct("w").alias("exact_distinct"))
+        )
+    )
+
+
+#: shipped tokenizer for the encode query — a fixed merge chain over
+#: the synthetic corpus vocabulary (each step's parts are producible by
+#: earlier steps), so `bpe_tokens` is deterministic at EVERY sf and the
+#: oracle SQL can be a static string.  In production this list is the
+#: artifact `bpe_train` ships.
+_BPE_SHIPPED_MERGES = [
+    "l e", "b le", "a ble", "t able", "table </w>",
+    "r o", "ro w", "row </w>",
+    "t h", "th e", "the </w>",
+]
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich ACL 2016, operators/bpe.py):
+    8 merge rounds over the word-frequency table (ONE corpus shuffle,
+    then k bounded 1-row-collect rounds); twin unrolls the rounds as
+    CTE stages and must match bit-identically."""
+    from pdf_parser_spark.operators import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir), n_merges=8, top_words=300)
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with the shipped merge list: one chained-replace
+    codegen projection (map-only at 100 TB — no UDF, no lookup join)."""
+    from pdf_parser_spark.operators import bpe
+
+    toks = bpe.bpe_encode(F.col("text"), _BPE_SHIPPED_MERGES)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(F.split(toks, " ")).alias("n_tokens"),
+    )
+
+
 def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter dedup vs a history corpus (Dolma/BFF,
     arXiv:2402.00159): history = even doc_ids, candidates = the whole
@@ -2246,6 +2400,35 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(_synth_edges(spark, sf_dir), iters=3)
 
 
+#: component fixture: doc_id %4 regions that NEVER share a hub, with
+#: two hub families inside each region (docs bridge %10 and %7 hubs,
+#: so each region merges through multi-hop chains — the pointer
+#: jumping has real work to do — while regions stay disjoint).
+_CC_BRANCHES = (
+    ("1000 + (doc_id % 4) * 100 + doc_id % 10", "1=1"),
+    ("2000 + (doc_id % 4) * 100 + doc_id % 7", "doc_id % 5 <> 0"),
+)
+
+
+def _q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over an undirected edge table
+    (operators/graph.py): the convergent pointer-jumping min-label
+    propagation shared with near-dup clustering; the oracle is the
+    EXACT recursive-reachability CTE, so semantics (not the iteration
+    schedule) are what's checked."""
+    d = _docs(spark, sf_dir)
+    parts = [
+        d.where(F.expr(cond)).selectExpr(
+            "CAST(doc_id AS BIGINT) AS src", f"CAST({e} AS BIGINT) AS dst"
+        )
+        for e, cond in _CC_BRANCHES
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.union(p)
+    return gr.connected_components(edges)
+
+
 #: BM25 query — mid-frequency corpus terms (the synthetic vocabulary
 #: is ~30 words, all high-df; BM25 has no df band).
 _BM25_QUERY = ("spark", "vector", "stream")
@@ -2346,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_graph_links": _q_page_graph_links,
         "link_edges": _q_link_edges,
         "pagerank": _q_pagerank,
+        "graph_components": _q_graph_components,
         "anchor_topk": _q_anchor_topk,
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -2376,6 +2560,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "robots_gate": _q_robots_gate,
         "frontier_schedule": _q_frontier_schedule,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_tokens": _q_bpe_tokens,
+        "sessionize": _q_sessionize,
+        "asof_last_view": _q_asof_last_view,
+        "window_funnel": _q_window_funnel,
+        "retention": _q_retention,
+        "cms_counts": _q_cms_counts,
+        "hll_words": _q_hll_words,
+        "len_quantiles": _q_len_quantiles,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -2942,6 +3135,60 @@ def oracle_sql() -> dict[str, str]:
             per_host_limit=3,
             salt="fr",
         ),
+        "sessionize": _ev.sessionize_sql("events", gap_secs=900),
+        "asof_last_view": (
+            "SELECT event_id, user_id, view_id, asof_ts_us FROM ("
+            + _ev.asof_join_sql(
+                "SELECT event_id, user_id, ts FROM events "
+                "WHERE event_type = 'click'",
+                "SELECT event_id AS view_id, ts AS view_ts, user_id "
+                "FROM events WHERE event_type = 'view'",
+                on="user_id", left_ts="ts", right_ts="view_ts",
+                left_cols=["event_id", "user_id", "ts"],
+                right_cols=["view_id"], right_tie="view_id",
+            )
+            + ")"
+        ),
+        "window_funnel": _ev.window_funnel_sql(
+            "events", _FUNNEL_STEPS, _FUNNEL_WINDOW_SECS
+        ),
+        "retention": _ev.retention_sql(
+            "events", cohort_type="signup", period_days=7
+        ),
+        "cms_counts": _sk.cms_estimate_sql(
+            _sk.cms_build_sql("documents", depth=4, width=1024),
+            _CMS_TERMS, depth=4, width=1024,
+        ),
+        "hll_words": (
+            "SELECT h.*, x.exact_distinct FROM ("
+            + _sk.hll_distinct_sql(
+                "SELECT unnest(list_filter(string_split_regex("
+                "trim(lower(text)), '\\s+'), w -> w <> '')) AS w "
+                "FROM documents",
+                "w", b=9,
+            )
+            + ") h CROSS JOIN (SELECT count(DISTINCT w) AS exact_distinct "
+            "FROM (SELECT unnest(list_filter(string_split_regex("
+            "trim(lower(text)), '\\s+'), w -> w <> '')) AS w "
+            "FROM documents)) x"
+        ),
+        "len_quantiles": _sk.hist_quantiles_sql(
+            _sk.histogram_sql(
+                "SELECT length(text) AS x FROM documents", "x",
+                _HIST_LO, _HIST_HI, n_bins=_HIST_BINS,
+            ),
+            _HIST_QS, n_bins=_HIST_BINS,
+        ),
+        "bpe_merges": _bpe.bpe_train_sql(
+            "documents", n_merges=8, top_words=300
+        ),
+        "bpe_tokens": (
+            f"SELECT doc_id, "
+            f"{_bpe.bpe_encode_sql('text', _BPE_SHIPPED_MERGES)} AS tokens, "
+            f"len(string_split("
+            f"{_bpe.bpe_encode_sql('text', _BPE_SHIPPED_MERGES)}, ' ')) "
+            f"AS n_tokens FROM documents"
+        ),
         "bloom_dedup": _bloom.bloom_maybe_dup_sql(
             "documents",
             "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
@@ -3123,6 +3370,13 @@ c AS (
 SELECT DISTINCT src, dst FROM c WHERE src <> dst
 """,
         "pagerank": gr.pagerank_sql(_edges_fixture_sql(), iters=3),
+        "graph_components": gr.connected_components_sql(
+            " UNION ALL ".join(
+                f"SELECT CAST(doc_id AS BIGINT) AS src, "
+                f"CAST({e} AS BIGINT) AS dst FROM documents WHERE {cond}"
+                for e, cond in _CC_BRANCHES
+            )
+        ),
         "anchor_topk": f"""
 WITH a AS (
   SELECT concat('http://T-', CAST(doc_id % 5 AS STRING),

@@ -156,6 +156,14 @@ def main() -> None:
 
     timed("textstats", q_textstats)
 
+    # BPE encode with the shipped merge list: pure chained-replace
+    # codegen projection (the map-only tokenization path)
+    timed(
+        "bpe_tokens",
+        lambda: entry._q_bpe_tokens(spark, sf_dir)
+        .agg(F.sum("n_tokens")).collect(),
+    )
+
     # similarity search
     timed("cosine_topk", lambda: entry._q_cosine_topk(spark, sf_dir).collect())
     timed("ann_lsh_topk", lambda: entry._q_ann_topk(spark, sf_dir).collect())

@@ -335,3 +335,42 @@ def anchor_topk(links: DataFrame, k: int = 3,
         counts.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= k)
     )
+
+
+# -------------------------------------------------- connected components
+
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Undirected connected components over an edge table →
+    (node, component) with component = the minimum node id reachable.
+    Thin graph-tier facade over `operators/dedup.py::dedup_clusters`
+    — the SAME convergent pointer-jumping min-label propagation that
+    clusters near-dup documents clusters hosts/domains (O(log
+    diameter) rounds, 8-byte ids only on the wire; see that docstring
+    for the full scale argument).  Typical use: mirror-site discovery
+    over `link_edges` lifted to `registered_domain` endpoints."""
+    from . import dedup as _dedup
+
+    pairs = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    return _dedup.dedup_clusters(pairs).select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component"),
+    )
+
+
+def connected_components_sql(edges_sql: str, src_col: str = "src",
+                             dst_col: str = "dst") -> str:
+    """DuckDB twin of :func:`connected_components` (exact recursive
+    reachability — semantics, not schedule)."""
+    from . import dedup as _dedup
+
+    pairs = (
+        f"SELECT {src_col} AS id_a, {dst_col} AS id_b FROM ({edges_sql})"
+    )
+    return (
+        "SELECT doc_id AS node, cluster_id AS component FROM ("
+        + _dedup.dedup_clusters_sql(pairs)
+        + ")"
+    )

@@ -168,3 +168,16 @@ def test_page_graph_fused_equals_two_pass(spark):
                 for r in extract_links(pages).collect()}
     assert {(l.dst, l.anchor, l.nofollow) for l in g.links} == two_pass
     assert len(g.links) == m.n_links
+
+
+def test_connected_components_facade(spark):
+    from pdf_parser_spark.operators.graph import connected_components
+
+    # two disjoint chains + an isolated self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (99, 99)],
+        "src long, dst long",
+    )
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}

@@ -444,6 +444,75 @@ def main() -> None:
     )
 
     add(
+        "BPE encode with a shipped merge list",
+        entry._q_bpe_tokens(spark, SF),
+        "Tokenization as ONE chained-replace codegen projection over "
+        "the scan — no UDF, no merge-table join, no shuffle; encoding "
+        "100 TB is a pure map whatever the merge-list length.",
+    )
+
+    add(
+        "Sessionization (gap windows)",
+        entry._q_sessionize(spark, SF),
+        "One user-key window pass (lag -> flag -> running sum) and "
+        "one (user, session) aggregate that REUSES the window's "
+        "user-hash partitioning (user is a prefix of the grouping "
+        "key), so the whole operator pays ONE Exchange of narrow "
+        "(user, micros, value) triples — texts/props never shuffle.",
+    )
+
+    add(
+        "As-of join (union + last_value window)",
+        entry._q_asof_last_view(spark, SF),
+        "Point-in-time attach with NO range join: both sides tagged "
+        "and unioned, one key-shuffle window carries the latest "
+        "right payload forward (IGNORE NULLS), left rows filter out "
+        "— each row visited once, skew bounded by the per-key window "
+        "like any sessionization.",
+    )
+
+    add(
+        "Window funnel (ordered-sequence match)",
+        entry._q_window_funnel(spark, SF),
+        "The per-step running-max DP: ONE user-key Exchange + ONE "
+        "sort, then k stacked Window passes reusing that order (plan "
+        "shows 1 Exchange / 1 Sort / stacked Windows) — no self-joins, "
+        "no per-user quadratic sequence scan; per-event state is one "
+        "bigint per funnel step.",
+    )
+
+    add(
+        "Cohort retention matrix",
+        entry._q_retention(spark, SF),
+        "First-event aggregate + distinct (user, period) activity — "
+        "narrow bigint pairs — one user join, then a per-(cohort, "
+        "offset) aggregate bounded by periods^2 rows with the "
+        "cohort-size side broadcast; event props never shuffle.",
+    )
+
+    add(
+        "Count-min sketch build + probe",
+        entry._q_cms_counts(spark, SF),
+        "The cell fan-out explodes depth structs per token but the "
+        "groupBy is capped at depth*width distinct keys, so map-side "
+        "partial aggregation collapses each task to <= depth*width "
+        "rows before the Exchange — a constant-size shuffle at any "
+        "corpus size; the bounded sketch then BROADCASTS under the "
+        "literal term-cell probe frame.",
+    )
+
+    add(
+        "Histogram sketch + quantile walk",
+        entry._q_len_quantiles(spark, SF),
+        "The bin groupBy is capped at n_bins+2 distinct keys, so "
+        "map-side combine collapses every task to a constant-size "
+        "partial before the Exchange (same argument as the count-min "
+        "build); the cumulative-walk interpolation then runs over a "
+        "<= n_bins+2-row frame — the single-partition Window there "
+        "is deliberate and bounded.",
+    )
+
+    add(
         "Training-shuffle assignment",
         shuffle_assignment(docs, 16),
         "Map-only: part and sort key are pure md5 functions of "
