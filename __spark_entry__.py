@@ -2400,6 +2400,37 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(_synth_edges(spark, sf_dir), iters=3)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement (A-ES, Efraimidis &
+    Spirakis 2006; operators/sampling.py): deterministic md5 draws,
+    map-only scoring, TakeOrderedAndProject cut."""
+    from pdf_parser_spark.operators import sampling as sp
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.length("text") + 1).alias("wlen")
+    )
+    return sp.weighted_sample(d, 50, "wlen")
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and cosine (semantic) top-20
+    lists fused by reciprocal rank (operators/terms.py::rrf_fuse,
+    Cormack SIGIR 2009).  The rankers prune map-side; the fusion
+    stage only ever sees the 40 cut rows."""
+    from pyspark.sql.window import Window
+
+    bm = tm.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=20)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    cos = _q_cosine_topk(spark, sf_dir)
+    wc = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    cos_r = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wc).alias("rank"),
+    )
+    return tm.rrf_fuse([bm_r, cos_r], topk=10)
+
+
 #: component fixture: doc_id %4 regions that NEVER share a hub, with
 #: two hub families inside each region (docs bridge %10 and %7 hubs,
 #: so each region merges through multi-hop chains — the pointer
@@ -2530,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": _q_link_edges,
         "pagerank": _q_pagerank,
         "graph_components": _q_graph_components,
+        "rrf_hybrid": _q_rrf_hybrid,
+        "weighted_sample": _q_weighted_sample,
         "anchor_topk": _q_anchor_topk,
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -2874,6 +2907,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT e.vec_id, round({cos_q}, 6) AS cos_sim "
             "FROM embeddings e, q ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20"
         ),
+        "rrf_hybrid": tm.rrf_fuse_sql([
+            "SELECT doc_id, row_number() OVER (ORDER BY score DESC, "
+            "doc_id) AS rank FROM ("
+            + tm.bm25_topk_sql("documents", _BM25_QUERY, k=20) + ")",
+            "SELECT vec_id AS doc_id, row_number() OVER (ORDER BY "
+            "cos_sim DESC, vec_id) AS rank FROM ("
+            "WITH q AS (SELECT embedding AS qvec FROM embeddings "
+            "WHERE vec_id = 0) "
+            f"SELECT e.vec_id, round({cos_q}, 6) AS cos_sim "
+            "FROM embeddings e, q ORDER BY cos_sim DESC, e.vec_id ASC "
+            "LIMIT 20)",
+        ], topk=10),
         "ann_lsh_topk": _ann_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(k=20),
         "ivf_refined_topk": sim.ivf_refined_topk_sql(k=20, lloyd_iters=2),
@@ -3071,6 +3116,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_sample": smp.hash_sample_sql(
             "documents", 0.25, salt="r3", columns="doc_id, lang, n_chars"
+        ),
+        "weighted_sample": smp.weighted_sample_sql(
+            "(SELECT doc_id, length(text) + 1 AS wlen FROM documents)",
+            50, "wlen",
         ),
         "stratified_sample": smp.stratified_sample_sql(
             "documents", 25, key_col="lang", salt="r3",

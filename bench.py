@@ -233,6 +233,16 @@ def main() -> None:
     timed(
         "events_hourly", lambda: entry._q_events_hourly(spark, sf_dir).count()
     )
+    # event analytics: one-shuffle window DP + cohort matrix
+    timed(
+        "window_funnel",
+        lambda: entry._q_window_funnel(spark, sf_dir)
+        .agg(F.sum("funnel_level")).collect(),
+    )
+    timed(
+        "sessionize",
+        lambda: entry._q_sessionize(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

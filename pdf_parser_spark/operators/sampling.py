@@ -592,3 +592,72 @@ SELECT {cols} FROM (
   FROM {table}
 ) WHERE _rn <= {n_per_key}
 """
+
+
+# ----------------------------------------------------- weighted sampling
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    IPL 2006, algorithm A-ES): each row draws a deterministic
+    u ∈ (0, 1] from md5(key, salt) and ranks by u^(1/w) — the n
+    largest keys are EXACTLY a weight-proportional sample without
+    replacement.  We rank by the monotone-equivalent ln(u)/w
+    (closer to 0 = better), ROUNDED to 10 dp with a key tie-break so
+    both engines cut the same set (the repo-wide rounded-double
+    idiom; raw last-ULP libm noise cannot flip the boundary).
+
+    Rows with NULL or non-positive weight are excluded.  Plan:
+    map-only scoring + TakeOrderedAndProject (per-partition partial
+    top-n, driver merge) — no shuffle, no global sort; ``n`` is a
+    sample size, bounded like any top-k.  Returns (key, weight,
+    es_key); deterministic under reruns, resumes, and cluster-size
+    changes like every sampler in this module.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    u = (hash_draw(F.col(key_col), salt) + 1).cast("double") / F.lit(
+        float(HASH_SPACE)
+    )
+    es = F.round(F.log(u) / w, 10)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            w.alias("weight"),
+            es.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc(key_col))
+        .limit(int(n))
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (identical draw and
+    rounding arithmetic)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = f"CAST({weight_col} AS DOUBLE)"
+    u = (
+        f"CAST({hash_draw_sql(key_col, salt)} + 1 AS DOUBLE) "
+        f"/ CAST({float(HASH_SPACE)!r} AS DOUBLE)"
+    )
+    return f"""
+SELECT {key_col}, {w} AS weight, round(ln({u}) / {w}, 10) AS es_key
+FROM {table}
+WHERE {w} IS NOT NULL AND {w} > 0
+ORDER BY es_key DESC, {key_col} ASC
+LIMIT {int(n)}
+"""

@@ -254,3 +254,59 @@ SELECT * FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------- reciprocal rank fusion
+
+def rrf_fuse(rankings, id_col: str = "doc_id", k_const: int = 60,
+             topk: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of N ranked lists → (id, rrf_score, n_lists): score =
+    Σ 1/(k_const + rank) over the lists that contain the id, rounded
+    to 6 dp with an id tie-break — the standard score-free way to
+    combine lexical (BM25) and semantic (ANN) retrieval.
+
+    Each input frame must carry ``id_col`` and a 1-based ``rank``
+    column.  The inputs are already top-k cuts from their rankers, so
+    the fusion itself is a bounded union + one tiny aggregate — at
+    100 TB all the scale lives in the rankers (which prune map-side);
+    this stage never sees more than Σ k_i rows.
+    """
+    tagged = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col), F.col("rank").cast("long").alias("rank")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        raise ValueError("rankings must be non-empty")
+    fused = tagged.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(int(k_const)) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    ).limit(int(topk))
+
+
+def rrf_fuse_sql(ranking_sqls, id_col: str = "doc_id", k_const: int = 60,
+                 topk: int = 10) -> str:
+    """DuckDB twin of :func:`rrf_fuse`; each SQL must produce
+    (``id_col``, rank)."""
+    if not ranking_sqls:
+        raise ValueError("ranking_sqls must be non-empty")
+    union = " UNION ALL ".join(
+        f"SELECT {id_col}, rank FROM ({s})" for s in ranking_sqls
+    )
+    return f"""
+SELECT {id_col},
+       round(sum(CAST(1.0 AS DOUBLE) / ({int(k_const)} + rank)), 6)
+         AS rrf_score,
+       count(*) AS n_lists
+FROM ({union})
+GROUP BY {id_col}
+ORDER BY rrf_score DESC, {id_col} ASC
+LIMIT {int(topk)}
+"""

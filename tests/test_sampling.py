@@ -264,3 +264,58 @@ def test_dataset_split_duckdb_twin(corpus):
     oracle = con.execute(
         dataset_split_sql("t", fr, columns="doc_id")).fetchall()
     assert sorted(oracle) == sorted(rows)
+
+
+# ------------------------------------------------------- weighted sample
+
+def test_weighted_sample_contract(spark):
+    from pdf_parser_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, None), (5, 0.0), (6, -2.0)],
+        "doc_id long, w double",
+    )
+    rows = weighted_sample(df, 2, "w", salt="t").collect()
+    assert len(rows) == 2
+    ids = {r.doc_id for r in rows}
+    assert ids <= {1, 2, 3}          # null/zero/negative weights excluded
+    # deterministic under rerun
+    again = {r.doc_id for r in weighted_sample(df, 2, "w", salt="t").collect()}
+    assert ids == again
+
+
+def test_weighted_sample_weight_proportional(spark):
+    from pdf_parser_spark.operators.sampling import weighted_sample
+
+    # one heavy item vs 7 light ones: across salts the heavy item must
+    # be picked far more often (A-ES inclusion ∝ weight)
+    df = spark.createDataFrame(
+        [(0, 50.0)] + [(i, 1.0) for i in range(1, 8)],
+        "doc_id long, w double",
+    )
+    wins = sum(
+        any(r.doc_id == 0 for r in weighted_sample(df, 1, "w", salt=f"s{k}").collect())
+        for k in range(12)
+    )
+    assert wins >= 9     # E[wins] ≈ 12 * 50/57 ≈ 10.5
+
+
+def test_weighted_sample_twin(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.selectExpr("doc_id", "length(text) + 1 AS wlen")
+    got = sorted(tuple(r) for r in weighted_sample(d, 30, "wlen").collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(weighted_sample_sql(
+        "(SELECT doc_id, length(text) + 1 AS wlen FROM documents)",
+        30, "wlen",
+    )).fetchall())
+    assert got == want and len(got) == 30

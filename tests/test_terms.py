@@ -84,3 +84,37 @@ def test_bm25_topk_matches_reference_formula(spark):
     assert got == {-i: s for s, i in want}
     for i, s in got.items():
         assert abs(s - score(i)) < 1e-6
+
+
+# --------------------------------------------------- reciprocal rank fusion
+
+def test_rrf_fuse_semantics(spark):
+    from pdf_parser_spark.operators.terms import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k_const=60, topk=4).collect()
+    got = {r.doc_id: (r.rrf_score, r.n_lists) for r in rows}
+    assert got[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert got[2] == (round(1 / 62, 6), 1)
+    assert got[9] == (round(1 / 63, 6), 1)
+    # doc 1 (ranks 1+2) outscores doc 3 (ranks 3+1)
+    order = [r.doc_id for r in rows]
+    assert order[0] == 1 and order[1] == 3
+
+
+def test_rrf_fuse_twin(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.terms import rrf_fuse, rrf_fuse_sql
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    got = sorted(tuple(r) for r in rrf_fuse([a, b], topk=10).collect())
+    sql = rrf_fuse_sql([
+        "SELECT * FROM (VALUES (1, 1), (2, 2), (3, 3)) t(doc_id, rank)",
+        "SELECT * FROM (VALUES (3, 1), (1, 2), (9, 3)) t(doc_id, rank)",
+    ], topk=10)
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want

@@ -502,6 +502,24 @@ def main() -> None:
     )
 
     add(
+        "Reciprocal-rank fusion (hybrid retrieval)",
+        entry._q_rrf_hybrid(spark, SF),
+        "The two rankers prune map-side (BM25's query-term filter in "
+        "the explode; cosine's TakeOrderedAndProject); the fusion "
+        "stage unions two <= 20-row cuts — its window/aggregate work "
+        "is bounded by sum(k_i) whatever the corpus size.",
+    )
+
+    add(
+        "A-ES weighted sample",
+        entry._q_weighted_sample(spark, SF),
+        "Map-only scoring (md5 draw + ln/w, all codegen) and a "
+        "TakeOrderedAndProject cut: per-partition partial top-n, "
+        "driver merge — no shuffle, no global sort at any corpus "
+        "size.",
+    )
+
+    add(
         "Histogram sketch + quantile walk",
         entry._q_len_quantiles(spark, SF),
         "The bin groupBy is capped at n_bins+2 distinct keys, so "
