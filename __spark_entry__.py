@@ -386,6 +386,15 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(20)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI 2011;
+    operators/similarity.py): 8x8 deterministic codebooks, map-only
+    encode to 8-byte codes, asymmetric-distance (ADC) top-k — the
+    memory-bounded scale path that lets a 100 TB corpus' index fit
+    cluster RAM (codes are 64x smaller than the float32 vectors)."""
+    return sim.pq_topk(_emb(spark, sf_dir), k=20)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (FAISS-style coarse quantizer with a deterministic
     md5-selected codebook): assign cells map-only, probe the 2 nearest
@@ -1527,6 +1536,14 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_blocks(_docs(spark, sf_dir), capacity=256, n_groups=16)
 
 
+def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: the corpus as one
+    hash-ordered token stream cut into exact 256-token windows, docs
+    split at window boundaries (zero padding waste); global offsets
+    from the bucketed distributed prefix-sum (operators/packing.py)."""
+    return pk.pack_concat(_docs(spark, sf_dir), block=256, n_buckets=16)
+
+
 #: deterministic PII injection so the counters exercise non-zero paths
 #: on the synthetic corpus — the SAME injection runs on both engines.
 #: healthy Gopher-passing sentence unit (trailing space for repeat):
@@ -2563,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "rrf_hybrid": _q_rrf_hybrid,
         "weighted_sample": _q_weighted_sample,
+        "pq_topk": _q_pq_topk,
+        "pack_concat": _q_pack_concat,
         "anchor_topk": _q_anchor_topk,
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -2921,6 +2940,7 @@ def oracle_sql() -> dict[str, str]:
         ], topk=10),
         "ann_lsh_topk": _ann_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(k=20),
+        "pq_topk": sim.pq_topk_sql(k=20),
         "ivf_refined_topk": sim.ivf_refined_topk_sql(k=20, lloyd_iters=2),
         "embedding_neardup_pairs": sim.embedding_neardup_pairs_sql(threshold=0.3),
         "semdedup": sim.semdedup_sql(threshold=0.3),
@@ -3281,6 +3301,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({dedup.dedup_lines_sql('inj')})"
         ),
         "pack_blocks": pk.pack_blocks_sql("documents", 256, 16),
+        "pack_concat": pk.pack_concat_sql("documents", 256, 16),
         "pii_counts": (
             f"WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS t FROM documents) "
             f"SELECT doc_id, "

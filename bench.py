@@ -172,6 +172,7 @@ def main() -> None:
         "ivf_refined_topk",
         lambda: entry._q_ivf_refined_topk(spark, sf_dir).collect(),
     )
+    timed("pq_topk", lambda: entry._q_pq_topk(spark, sf_dir).collect())
     timed(
         "emb_neardup",
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),
@@ -211,6 +212,8 @@ def main() -> None:
     )
     timed("pack_blocks", lambda: entry._q_pack_blocks(spark, sf_dir)
           .agg(F.max("bin_id")).collect())
+    timed("pack_concat", lambda: entry._q_pack_concat(spark, sf_dir)
+          .agg(F.max("block_id"), F.sum("seg_len")).collect())
     timed("pii_counts", lambda: entry._q_pii_counts(spark, sf_dir)
           .agg(F.sum("emails"), F.sum("redacted_len")).collect())
     timed(

@@ -107,3 +107,152 @@ SELECT {id_col}, n_tokens, group_id,
        CAST(_start % {capacity} AS BIGINT) AS bin_offset
 FROM laid
 """
+
+
+# ----------------------------------------------- concat-and-chunk packing
+
+def pack_concat(
+    df: DataFrame,
+    block: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pk",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: the whole corpus is laid
+    out as ONE token stream in a deterministic pseudo-random order
+    (the md5-draw shuffle every sampler here uses) and cut into
+    exact `block`-token windows — documents SPLIT at window
+    boundaries, so there is zero padding waste (the other classic
+    packing besides :func:`pack_blocks`' boundary-aligned bins).
+    Output: one row per (document, window) segment —
+    (doc_id, n_tokens, block_id, doc_from, seg_len, block_offset) —
+    exactly what a shard writer needs to copy token ranges.
+    Zero-token documents contribute no segments.
+
+    Every document needs its EXACT global stream offset — a global
+    cumulative sum. The naive single ORDER BY window is one task (the
+    anti-pattern); this runs the textbook distributed prefix-sum
+    instead: draws bucket the corpus (`bucket = draw % n_buckets`),
+    per-bucket token totals (one <= n_buckets-row aggregate with
+    map-side combine) cumsum on the driver into bucket base offsets,
+    and a window per bucket adds the local exclusive cumsum — global
+    offset = bucket base + local. One narrow shuffle of (id, draw,
+    n_tokens); texts never move; the in-task sort is n/n_buckets rows,
+    so size `n_buckets ~ corpus_rows / 10M` at scale (the stream
+    order is bucket-major by construction, identical at any
+    n_buckets' task layout). The twin replays the same composite
+    order as one plain window."""
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
+    from .sampling import hash_draw
+
+    toks = df.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+        hash_draw(F.col(id_col), salt).alias("_draw"),
+    ).withColumn("_bucket", F.col("_draw") % n_buckets)
+
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in toks.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    base, acc = {}, 0
+    for b in sorted(totals):
+        base[b] = acc
+        acc += totals[b]
+    if not base:
+        return toks.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_tokens long, block_id long, "
+                "doc_from long, seg_len long, block_offset long",
+        )
+    base_df = F.broadcast(
+        toks.sparkSession.createDataFrame(
+            [(int(b), int(v)) for b, v in base.items()],
+            "_bucket long, _base long",
+        )
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_draw", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = (
+        toks.join(base_df, "_bucket")
+        .select(
+            id_col, "n_tokens",
+            (F.col("_base") + F.sum("n_tokens").over(w)
+             - F.col("n_tokens")).alias("_g"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    # integer division (not floor of a double quotient): token offsets
+    # at 100 TB exceed 2^53, where double division loses exactness
+    first_b = F.expr(f"_g DIV {int(block)}")
+    last_b = F.expr(f"(_g + n_tokens - 1) DIV {int(block)}")
+    seg = laid.select(
+        id_col, "n_tokens", "_g",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"),
+    )
+    blk_start = F.col("block_id") * block
+    seg_from = F.greatest(blk_start - F.col("_g"), F.lit(0))
+    seg_end = F.least(
+        F.col("_g") + F.col("n_tokens"), blk_start + block
+    )
+    seg_start = F.greatest(F.col("_g"), blk_start)
+    return seg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("block_id").cast("long"),
+        seg_from.cast("long").alias("doc_from"),
+        (seg_end - seg_start).cast("long").alias("seg_len"),
+        (seg_start - blk_start).cast("long").alias("block_offset"),
+    )
+
+
+def pack_concat_sql(
+    table: str,
+    block: int,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pk",
+) -> str:
+    """DuckDB twin of :func:`pack_concat`: the bucketed prefix-sum is
+    provably one plain window over the composite (bucket, draw, id)
+    order, so the twin uses exactly that."""
+    from .sampling import hash_draw_sql
+
+    nt = ws_token_count_sql(text_col)
+    draw = hash_draw_sql(id_col, salt)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {nt} AS n_tokens, {draw} AS _draw,
+         {draw} % {n_buckets} AS _bucket
+  FROM {table}
+),
+laid AS (
+  SELECT {id_col}, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY _bucket, _draw, {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS _g
+  FROM toks
+),
+seg AS (
+  SELECT {id_col}, n_tokens, _g,
+         unnest(generate_series(
+           _g // {block}, (_g + n_tokens - 1) // {block}
+         )) AS block_id
+  FROM laid WHERE n_tokens > 0
+)
+SELECT {id_col}, n_tokens, block_id,
+       CAST(greatest(block_id * {block} - _g, 0) AS BIGINT) AS doc_from,
+       CAST(least(_g + n_tokens, block_id * {block} + {block})
+            - greatest(_g, block_id * {block}) AS BIGINT) AS seg_len,
+       CAST(greatest(_g, block_id * {block})
+            - block_id * {block} AS BIGINT) AS block_offset
+FROM seg
+"""

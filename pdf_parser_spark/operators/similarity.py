@@ -764,3 +764,271 @@ JOIN qprobe ON qprobe.cidx = cells.cidx, q
 ORDER BY cos_sim DESC, e.{id_col} ASC LIMIT {k}
 """
     )
+
+
+# ------------------------------------------------- product quantization
+
+#: PQ demo defaults: 8 subspaces x 8 centroids over the 64-dim test
+#: embeddings -> 8-byte codes (64x smaller than the float32 vectors)
+PQ_M = 8
+PQ_KSUB = 8
+
+
+def _l2sq(sub: Column, centroid: Sequence[float]) -> Column:
+    """Squared L2 distance between a sliced subvector column and a
+    literal centroid — left-to-right double fold from 0.0, matching
+    the DuckDB twin's list_reduce(list_prepend(0.0, ...)) bitwise."""
+    lits = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(sub, lits, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(df: DataFrame, m_sub: int = PQ_M, ksub: int = PQ_KSUB,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic PQ codebooks (Jégou et al., TPAMI 2011): ONE
+    md5(id)-ordered scan yields m_sub*ksub seed rows; seed j trains
+    subspace j // ksub with centroid index j % ksub + 1, taking the
+    seed vector's OWN slice for that subspace (so subspace codebooks
+    come from disjoint rows — independent-ish without RNG state, and
+    bit-reproducible in both engines). Returns a driver-side dict
+    {(sub, cidx): subvector}; m_sub*ksub rows is the same driver-side
+    footprint class as the IVF codebook.
+
+    A production build refines with :func:`pq_lloyd_step`; the
+    deterministic seed set is what makes the oracle comparison exact
+    (exactly the ivf_codebook tradeoff)."""
+    need = m_sub * ksub
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(need)
+        .collect()
+    )
+    if len(rows) < need:
+        raise ValueError(
+            f"PQ needs >= m_sub*ksub = {need} rows to seed codebooks, "
+            f"corpus has {len(rows)}"
+        )
+    dim = len(rows[0][1])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    books = {}
+    for j, r in enumerate(rows):
+        sub, cidx = j // ksub, j % ksub + 1
+        vec = list(r[1])
+        books[(sub, cidx)] = [float(v) for v in
+                              vec[sub * dsub:(sub + 1) * dsub]]
+    return books
+
+
+def _pq_codes_expr(books, m_sub: int, ksub: int, dsub: int,
+                   vec_col: str) -> Column:
+    """codes column: per subspace, argmin centroid by 6-dp-rounded
+    squared L2 (ties -> lowest centroid index via array_position's
+    first-match rule, matching the twin's row_number order)."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(m_sub):
+        sl = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(*[
+            F.round(_l2sq(sl, books[(s, c)]), 6)
+            for c in range(1, ksub + 1)
+        ])
+        codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode(df: DataFrame, books, m_sub: int = PQ_M,
+              ksub: int = PQ_KSUB, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Map-only PQ encoding: (id, codes array<int>, 1-based). The
+    codes table is the WHOLE searchable index — m_sub small ints per
+    document (8 bytes at the defaults vs 256 bytes of float32), which
+    is what lets a 100 TB corpus' ANN index fit a cluster's memory.
+    The m_sub*ksub interpreted HOF folds per row are the honest cost
+    of engine-portable centroids (same tradeoff as ann_lsh_topk); a
+    throughput-first deployment swaps this one projection for an
+    Arrow-batched pandas UDF without touching the index layout."""
+    dsub = len(next(iter(books.values())))
+    return df.select(
+        F.col(id_col),
+        _pq_codes_expr(books, m_sub, ksub, dsub, vec_col).alias("codes"),
+    )
+
+
+def pq_lloyd_step(df: DataFrame, books, m_sub: int = PQ_M,
+                  ksub: int = PQ_KSUB, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """One Lloyd iteration over every subspace in ONE pass: encode,
+    posexplode (subvector, code) pairs, per-(sub, code) elementwise
+    means rounded to 6 dp (one shuffle of <= m_sub*ksub*dsub partial
+    aggregates — map-side combine, m_sub*ksub rows out). Cells that
+    lost all members keep their previous centroid, as in
+    ivf_lloyd_step."""
+    dsub = len(next(iter(books.values())))
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m_sub)])
+    codes = _pq_codes_expr(books, m_sub, ksub, dsub, vec_col)
+    ex = df.select(
+        F.posexplode(F.arrays_zip(subs.alias("sv"), codes.alias("code")))
+    ).select(
+        F.col("pos").alias("sub"),
+        F.col("col.code").alias("cidx"),
+        F.col("col.sv").alias("sv"),
+    )
+    means = (
+        ex.groupBy("sub", "cidx")
+        .agg(*[
+            F.round(F.avg(F.col("sv").getItem(i)), 6).alias(f"m{i}")
+            for i in range(dsub)
+        ])
+        .collect()
+    )
+    got = {(r["sub"], r["cidx"]): [float(r[f"m{i}"]) for i in range(dsub)]
+           for r in means}
+    return {key: got.get(key, old) for key, old in books.items()}
+
+
+class PqIndex:
+    """A built PQ index: driver-side codebooks plus the PERSISTED
+    (id, codes) table. Build once, search many — ADC queries touch
+    only the code table (never the vectors), so the per-query cost is
+    a broadcast-free map over m_sub-byte rows + a top-k."""
+
+    def __init__(self, books, codes: DataFrame, m_sub: int, ksub: int,
+                 id_col: str):
+        self.books = books
+        self.codes = codes
+        self.m_sub = m_sub
+        self.ksub = ksub
+        self.id_col = id_col
+
+
+def pq_build(df: DataFrame, m_sub: int = PQ_M, ksub: int = PQ_KSUB,
+             lloyd_iters: int = 0, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> PqIndex:
+    """Build the PQ index: deterministic seed codebooks ->
+    `lloyd_iters` one-pass refinements -> final encode persisted.
+    lloyd_iters=0 keeps the raw seeded codebooks (exactly the
+    oracle-checked `pq_topk` semantics)."""
+    books = pq_codebooks(df, m_sub, ksub, vec_col, id_col)
+    for _ in range(lloyd_iters):
+        books = pq_lloyd_step(df, books, m_sub, ksub, vec_col, id_col)
+    codes = persisted(pq_encode(df, books, m_sub, ksub, vec_col, id_col))
+    return PqIndex(books, codes, m_sub, ksub, id_col)
+
+
+def pq_search(index: PqIndex, query_vec, k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) search: the query's m_sub x ksub
+    distance table is computed driver-side (the same left-to-right
+    fold as the engines) and baked in as literal arrays; each code
+    row scores with m_sub element_at lookups + adds — pure codegen,
+    no join, no shuffle, TakeOrderedAndProject cut. Returns
+    (id, adc_dist), ascending (squared-L2 approximation)."""
+    m_sub, ksub = index.m_sub, index.ksub
+    dsub = len(next(iter(index.books.values())))
+    dt = {}
+    for s in range(m_sub):
+        qs = [float(v) for v in query_vec[s * dsub:(s + 1) * dsub]]
+        for c in range(1, ksub + 1):
+            w = index.books[(s, c)]
+            d = 0.0
+            for a, b in zip(qs, w):
+                d += (a - b) * (a - b)
+            dt[(s, c)] = round(d, 6)
+    score = F.lit(0.0)
+    for s in range(m_sub):
+        lut = F.array(*[F.lit(dt[(s, c)]) for c in range(1, ksub + 1)])
+        score = score + F.element_at(lut, F.col("codes").getItem(s))
+    return (
+        index.codes.select(
+            F.col(index.id_col),
+            F.round(score, 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(index.id_col))
+        .limit(int(k))
+    )
+
+
+def pq_topk(df: DataFrame, k: int = 10, m_sub: int = PQ_M,
+            ksub: int = PQ_KSUB, vec_col: str = "embedding",
+            id_col: str = "vec_id", query_id: int = 0) -> DataFrame:
+    """One-shot oracle query: build (lloyd_iters=0), query = the
+    vector of `query_id`, ADC top-k."""
+    index = pq_build(df, m_sub, ksub, 0, vec_col, id_col)
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not in corpus")
+    return pq_search(index, list(qrow[0]), k)
+
+
+def _l2sq_sql(elem_a: str, elem_b: str, n: str) -> str:
+    """DuckDB squared-L2 fold over i = 1..n; `elem_a`/`elem_b` are
+    expressions in i. Same 0.0-seeded left fold as :func:`_l2sq`."""
+    diff = f"(({elem_a}) - ({elem_b}))"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {n}), i -> {diff} * {diff})), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def pq_topk_sql(
+    k: int = 10,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: same seed rows, same rounded
+    squared-L2 argmin with lowest-centroid tie-break, same per-cell
+    rounded distance table, same ascending (dist, id) cut."""
+    dsub = dim // m_sub
+    ord_ = f"md5(CAST({id_col} AS VARCHAR)), {id_col}"
+    doc_elem = f"CAST(e.{vec_col}[c.sub * {dsub} + i] AS DOUBLE)"
+    q_elem = f"CAST(q.qvec[c.sub * {dsub} + i] AS DOUBLE)"
+    c_elem = "c.csub[i]"
+    d_doc = _l2sq_sql(doc_elem, c_elem, str(dsub))
+    d_q = _l2sq_sql(q_elem, c_elem, str(dsub))
+    return f"""
+WITH seeds AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (ORDER BY {ord_}) - 1 AS j
+  FROM {table} ORDER BY {ord_} LIMIT {m_sub * ksub}
+),
+cent AS (
+  SELECT CAST(j // {ksub} AS INT) AS sub,
+         CAST(j % {ksub} + 1 AS INT) AS cidx,
+         list_transform(generate_series(1, {dsub}),
+           i -> CAST(cvec[(j // {ksub}) * {dsub} + i] AS DOUBLE)) AS csub
+  FROM seeds
+),
+dist AS (
+  SELECT e.{id_col} AS vid, c.sub, c.cidx, round({d_doc}, 6) AS d
+  FROM {table} e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vid, sub, cidx FROM (
+    SELECT vid, sub, cidx,
+           row_number() OVER (
+             PARTITION BY vid, sub ORDER BY d ASC, cidx ASC
+           ) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+qd AS (
+  SELECT c.sub, c.cidx, round({d_q}, 6) AS qdist
+  FROM cent c, q
+)
+SELECT codes.vid AS {id_col}, round(sum(qd.qdist), 6) AS adc_dist
+FROM codes JOIN qd ON qd.sub = codes.sub AND qd.cidx = codes.cidx
+GROUP BY codes.vid
+ORDER BY adc_dist ASC, vid ASC LIMIT {k}
+"""

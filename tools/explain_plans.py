@@ -520,6 +520,28 @@ def main() -> None:
     )
 
     add(
+        "Product-quantization ADC search",
+        entry._q_pq_topk(spark, SF),
+        "Build: one md5-ordered seed scan + a map-only encode (the "
+        "m_sub*ksub HOF folds are the engine-portable-centroid cost, "
+        "as in ann_lsh). Search never touches vectors: the query's "
+        "distance table is literal arrays, scoring is m_sub "
+        "element_at lookups + adds per 8-byte code row — pure "
+        "codegen, no join, TakeOrderedAndProject cut.",
+    )
+
+    add(
+        "Concat-and-chunk packing (distributed prefix-sum)",
+        entry._q_pack_concat(spark, SF),
+        "Global token offsets WITHOUT a single global-ORDER-BY task: "
+        "bucket totals aggregate to <= n_buckets rows (map-side "
+        "combine), driver cumsum broadcasts bucket bases, and the "
+        "per-bucket window adds the local cumsum — the in-task sort "
+        "is n/n_buckets narrow rows. The segment explode is bounded "
+        "by n_docs + n_blocks.",
+    )
+
+    add(
         "Histogram sketch + quantile walk",
         entry._q_len_quantiles(spark, SF),
         "The bin groupBy is capped at n_bins+2 distinct keys, so "
