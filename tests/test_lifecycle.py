@@ -136,3 +136,35 @@ def test_compact_then_bucketize(spark, lifecycle):
     assert "Bucketed: true" in plan, plan
     assert "hashpartitioning(doc_id" not in plan, plan
     spark.sql("DROP TABLE lifecycle_docs")
+
+
+def test_shard_export_closes_the_lifecycle(spark, lifecycle):
+    # the final stage: curated corpus -> training shards. Token totals
+    # must survive the whole extract -> curate -> shard dance.
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.jobs.shards import write_train_shards
+
+    curated_ref = os.path.join(lifecycle["out"], "curated.parquet")
+    out = os.path.join(lifecycle["out"], "shards")
+    totals = write_train_shards(
+        spark, curated_ref, out, block=64, n_shards=2, n_buckets=4,
+    )
+    assert totals["n_shards"] == 2
+    n_tok = (
+        spark.read.parquet(curated_ref)
+        .selectExpr(
+            "sum(CASE WHEN length(trim(text)) > 0 "
+            "THEN size(split(trim(text), '\\\\s+')) ELSE 0 END) AS t"
+        )
+        .first()["t"]
+    )
+    assert totals["n_tokens"] == n_tok
+    segs = spark.read.parquet(os.path.join(out, "segments"))
+    # every non-final block holds exactly `block` tokens
+    fills = segs.groupBy("block_id").agg(F.sum("seg_len").alias("f"))
+    mx = fills.agg(F.max("block_id")).first()[0]
+    bad = fills.where(
+        (F.col("block_id") != mx) & (F.col("f") != 64)
+    ).count()
+    assert bad == 0
