@@ -395,6 +395,13 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(_emb(spark, sf_dir), k=20)
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed FAISS-style ANN: IVF cells prune the read
+    (~1 - nprobe/k skipped before scoring), PQ ADC ranks survivors
+    over 8-byte codes (operators/similarity.py::ivfpq_topk)."""
+    return sim.ivfpq_topk(_emb(spark, sf_dir), k=20)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (FAISS-style coarse quantizer with a deterministic
     md5-selected codebook): assign cells map-only, probe the 2 nearest
@@ -2581,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "weighted_sample": _q_weighted_sample,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "pack_concat": _q_pack_concat,
         "anchor_topk": _q_anchor_topk,
         "dup_spans": _q_dup_spans,
@@ -2941,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_topk_sql(),
         "ivf_topk": sim.ivf_topk_sql(k=20),
         "pq_topk": sim.pq_topk_sql(k=20),
+        "ivfpq_topk": sim.ivfpq_topk_sql(k=20),
         "ivf_refined_topk": sim.ivf_refined_topk_sql(k=20, lloyd_iters=2),
         "embedding_neardup_pairs": sim.embedding_neardup_pairs_sql(threshold=0.3),
         "semdedup": sim.semdedup_sql(threshold=0.3),

@@ -173,6 +173,8 @@ def main() -> None:
         lambda: entry._q_ivf_refined_topk(spark, sf_dir).collect(),
     )
     timed("pq_topk", lambda: entry._q_pq_topk(spark, sf_dir).collect())
+    timed("ivfpq_topk",
+          lambda: entry._q_ivfpq_topk(spark, sf_dir).collect())
     timed(
         "emb_neardup",
         lambda: entry._q_emb_neardup(spark, sf_dir).count(),

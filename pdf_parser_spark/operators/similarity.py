@@ -1032,3 +1032,134 @@ FROM codes JOIN qd ON qd.sub = codes.sub AND qd.cidx = codes.cidx
 GROUP BY codes.vid
 ORDER BY adc_dist ASC, vid ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------- IVF + PQ
+
+def ivfpq_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """The composed FAISS-style index: IVF coarse cells prune the
+    corpus (~1 - nprobe/n_centroids skipped before ANY scoring), then
+    PQ asymmetric distance ranks the survivors over m_sub-byte codes —
+    at 100 TB this is the deployment shape: the (id, cell, codes)
+    table is the whole index, written partitioned by cell so a probe
+    reads only its cells' files, and vectors are touched exactly once
+    (at build). This demo variant encodes raw vectors, not
+    cell-residuals (IVFADC's optional refinement); both components
+    keep their oracle-exact deterministic codebooks.
+
+    Ranking is identical to :func:`pq_search` restricted to the probed
+    cells (tests pin this), so accuracy is PQ's with IVF's read
+    pruning on top."""
+    icb = ivf_codebook(df, n_centroids, vec_col, id_col)
+    books = pq_codebooks(df, m_sub, ksub, vec_col, id_col)
+    dsub = len(next(iter(books.values())))
+    assigned = persisted(
+        ivf_assign(df, icb, vec_col, id_col).select(
+            F.col(id_col), F.col("cell"),
+            _pq_codes_expr(books, m_sub, ksub, dsub, vec_col)
+            .alias("codes"),
+        )
+    )
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not in corpus")
+    qvec = list(qrow[0])
+    probes = sorted(
+        icb, key=lambda c: (-round(_cos_py(qvec, c[1]), 6), c[0])
+    )[:nprobe]
+    probe_cells = [c[0] for c in probes]
+    index = PqIndex(books, assigned.where(F.col("cell").isin(probe_cells)),
+                    m_sub, ksub, id_col)
+    return pq_search(index, qvec, k)
+
+
+def ivfpq_topk_sql(
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the ivf_topk_sql cell/probe
+    CTEs compose with the pq_topk_sql code/distance-table CTEs; the
+    final cut is the PQ ADC ranking restricted to probed cells."""
+    dsub = dim // m_sub
+    ord_ = f"md5(CAST({id_col} AS VARCHAR)), {id_col}"
+    cos_ec = cosine_sql(f"e.{vec_col}", "c.cvec")
+    doc_elem = f"CAST(e.{vec_col}[c.sub * {dsub} + i] AS DOUBLE)"
+    q_elem = f"CAST(q.qvec[c.sub * {dsub} + i] AS DOUBLE)"
+    c_elem = "c.csub[i]"
+    d_doc = _l2sq_sql(doc_elem, c_elem, str(dsub))
+    d_q = _l2sq_sql(q_elem, c_elem, str(dsub))
+    return f"""
+WITH icent AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (ORDER BY {ord_}) AS cidx
+  FROM {table} ORDER BY {ord_} LIMIT {n_centroids}
+),
+iassign AS (
+  SELECT e.{id_col} AS vid, c.cidx,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY round({cos_ec}, 6) DESC, c.cidx ASC
+         ) AS rn
+  FROM {table} e CROSS JOIN icent c
+),
+cells AS (SELECT vid, cidx FROM iassign WHERE rn = 1),
+qprobe AS (
+  SELECT cidx FROM iassign WHERE vid = {query_id} AND rn <= {nprobe}
+),
+survivors AS (
+  SELECT cells.vid FROM cells JOIN qprobe ON qprobe.cidx = cells.cidx
+),
+seeds AS (
+  SELECT {vec_col} AS cvec,
+         row_number() OVER (ORDER BY {ord_}) - 1 AS j
+  FROM {table} ORDER BY {ord_} LIMIT {m_sub * ksub}
+),
+cent AS (
+  SELECT CAST(j // {ksub} AS INT) AS sub,
+         CAST(j % {ksub} + 1 AS INT) AS cidx,
+         list_transform(generate_series(1, {dsub}),
+           i -> CAST(cvec[(j // {ksub}) * {dsub} + i] AS DOUBLE)) AS csub
+  FROM seeds
+),
+dist AS (
+  SELECT e.{id_col} AS vid, c.sub, c.cidx, round({d_doc}, 6) AS d
+  FROM {table} e CROSS JOIN cent c
+  WHERE e.{id_col} IN (SELECT vid FROM survivors)
+),
+codes AS (
+  SELECT vid, sub, cidx FROM (
+    SELECT vid, sub, cidx,
+           row_number() OVER (
+             PARTITION BY vid, sub ORDER BY d ASC, cidx ASC
+           ) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+q AS (SELECT {vec_col} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+qd AS (
+  SELECT c.sub, c.cidx, round({d_q}, 6) AS qdist
+  FROM cent c, q
+)
+SELECT codes.vid AS {id_col}, round(sum(qd.qdist), 6) AS adc_dist
+FROM codes JOIN qd ON qd.sub = codes.sub AND qd.cidx = codes.cidx
+GROUP BY codes.vid
+ORDER BY adc_dist ASC, vid ASC LIMIT {k}
+"""

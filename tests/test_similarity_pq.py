@@ -146,3 +146,43 @@ def test_pq_recall_vs_exact(spark):
     approx_ids = {r.vec_id for r in sim.pq_topk(emb, k=20).collect()}
     recall = len(exact_ids & approx_ids) / 20
     assert recall >= 0.3, recall
+
+
+def test_ivfpq_is_pq_restricted_to_probed_cells(spark):
+    emb = _emb(spark)
+    got = sim.ivfpq_topk(emb, k=12).collect()
+    # recompute by hand: PQ ADC ranking over only the probed cells
+    icb = sim.ivf_codebook(emb)
+    books = sim.pq_codebooks(emb)
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    probes = {
+        c[0]
+        for c in sorted(
+            icb, key=lambda c: (-round(sim._cos_py(qvec, c[1]), 6), c[0])
+        )[: sim.IVF_NPROBE]
+    }
+    surv = sim.ivf_assign(emb, icb).where(
+        F.col("cell").isin(list(probes))
+    ).select("vec_id", "embedding")
+    index = sim.PqIndex(
+        books, sim.pq_encode(surv, books), sim.PQ_M, sim.PQ_KSUB, "vec_id"
+    )
+    want = sim.pq_search(index, qvec, k=12).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in want
+    ]
+    # pruning is real: survivors are a strict subset of the corpus
+    assert 0 < surv.count() < emb.count()
+
+
+def test_ivfpq_twin(spark):
+    got = sim.ivfpq_topk(_emb(spark), k=10).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF}/embeddings.parquet'"
+    )
+    want = con.execute(sim.ivfpq_topk_sql(k=10)).fetchall()
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (v, d) for v, d in want
+    ]

@@ -531,6 +531,15 @@ def main() -> None:
     )
 
     add(
+        "IVF+PQ composed ANN",
+        entry._q_ivfpq_topk(spark, SF),
+        "The probe-cell isin filter prunes the persisted (id, cell, "
+        "codes) index before any ADC work — at scale the index is "
+        "written partitioned by cell, so the filter becomes partition "
+        "pruning and a query reads nprobe/n_centroids of the files.",
+    )
+
+    add(
         "Concat-and-chunk packing (distributed prefix-sum)",
         entry._q_pack_concat(spark, SF),
         "Global token offsets WITHOUT a single global-ORDER-BY task: "
