@@ -57,6 +57,50 @@ def main() -> None:
             f"(nprobe {sim.IVF_NPROBE}/{sim.IVF_K}, corpus {n})"
         )
         release_cached()
+
+    # --- PQ / IVF+PQ: squared-L2 ground truth (PQ's native metric) ---
+    def l2_truth(qv):
+        q = F.array(*[F.lit(float(v)) for v in qv])
+        return {
+            r.vec_id
+            for r in emb.select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"), q,
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0), lambda a, v: a + v,
+                ).alias("d"),
+            ).orderBy(F.asc("d"), F.asc("vec_id")).limit(k).collect()
+        }
+
+    truth_l2 = {qid: l2_truth(qv) for qid, qv in qvecs.items()}
+    for iters in (0, 1):
+        index = sim.pq_build(emb, lloyd_iters=iters)
+        hits = total = 0
+        for qid, qv in qvecs.items():
+            got = {r.vec_id
+                   for r in sim.pq_search(index, qv, k=k).collect()}
+            hits += len(truth_l2[qid] & got)
+            total += k
+        print(
+            f"pq lloyd_iters={iters}: recall@{k} = {hits / total:.3f} "
+            f"({hits}/{total}; codes {sim.PQ_M} B vs "
+            f"{4 * len(qvecs[0])} B vectors, corpus {n})"
+        )
+        release_cached()
+    hits = total = 0
+    for qid, qv in qvecs.items():
+        got = {r.vec_id
+               for r in sim.ivfpq_topk(emb, k=k, query_id=qid).collect()}
+        hits += len(truth_l2[qid] & got)
+        total += k
+        release_cached()
+    print(
+        f"ivfpq (nprobe {sim.IVF_NPROBE}/{sim.IVF_K}): recall@{k} = "
+        f"{hits / total:.3f} ({hits}/{total})"
+    )
     spark.stop()
 
 

@@ -379,6 +379,17 @@ than cpu24), and each run is released only in a quiet ambient window
 is decided by which protocol took the measurement, never by the
 observed ratio.
 
+**Prior-round record (round-3 box)**: the round-3 session accumulated
+27 interleaved v4 pairs on its box — per-pair median **0.99**, 3/27
+below the 0.8 target, distribution [0.76, 0.77, 0.79, 0.81, 0.84,
+0.86, 0.92, 0.93, 0.94, 0.94, 0.96, 0.97, 0.98, 0.99, 1.00, 1.00,
+1.02, 1.03, 1.03, 1.04, 1.07, 1.09, 1.10, 1.11, 1.13, 1.22, 1.28]
+(min-wall 1.01, quietest same-window pair 0.99; the full narrative is
+in the round-3 BENCH.md in git history). The raw per-trial history
+lives in /tmp and did not survive the round boundary, so the LIVE
+sections below are computed from the CURRENT box's pairs only — same
+protocol, same job, fresh hardware window.
+
 Earlier protocols, kept in the history and the all-pairs numbers:
 
 - v1 (unpinned local[n] threads, (2,8), no load gate): the bulk of
@@ -485,6 +496,27 @@ to find) — on real embedding corpora the refined codebook is the one
 that tracks density. Both paths return the true top hit (the query's
 own vector) and hash-match their DuckDB twins exactly
 (`ivf_topk`, `ivf_refined_topk` in CORRECTNESS).
+
+PQ / IVF+PQ (round 4, same panel, squared-L2 ground truth — PQ's
+native metric; tools/ivf_recall.py):
+
+| configuration | bytes/vec | recall@20 |
+|---|---|---|
+| pq 8x8, seeded (the oracle-mirrored path) | 8 | 0.11 |
+| pq 8x8 + 1 Lloyd pass | 8 | 0.18 |
+| pq 8x32 + 1 Lloyd pass | 8 (5 bits/sub) | 0.26 |
+| pq 16x16 + 1 Lloyd pass | 16 (4 bits/sub) | 0.34 |
+| ivfpq 8x8, nprobe 2/8 | 8 + cell | 0.15 |
+
+Synthetic near-uniform 64-dim embeddings are the ADVERSARIAL case for
+product quantization (no manifold to exploit: quantizing i.i.d.
+uniform coordinates at 1 byte per 8 dims is information-theoretically
+poor), so the absolute numbers are a floor, not the method — the
+relevant evidence is the monotone capacity curve above (more
+centroids/subspaces -> higher recall, Lloyd always helps) and the
+bit-exact `pq_topk`/`ivfpq_topk` oracle rows. On real embedding
+corpora (which cluster), published PQ recall at these code rates is
+several times higher.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
