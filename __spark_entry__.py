@@ -54,6 +54,7 @@ from pdf_parser_spark.operators import multimodal as mm
 from pdf_parser_spark.operators import packing as pk
 from pdf_parser_spark.operators import sampling as smp
 from pdf_parser_spark.operators import similarity as sim
+from pdf_parser_spark.operators import snapshots as snaps
 from pdf_parser_spark.operators import spans as sp
 from pdf_parser_spark.operators import terms as tm
 from pdf_parser_spark.operators import urls as ur
@@ -1543,6 +1544,50 @@ def _q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.pack_blocks(_docs(spark, sf_dir), capacity=256, n_groups=16)
 
 
+def _snap_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic two-snapshot fixture from the documents table:
+    old = ids %10 != 0, new = ids %7 != 3 with texts rewritten for
+    ids %5 == 0 — every diff status (added / removed / changed /
+    unchanged) fires. The SAME construction runs in the oracle."""
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://example.com/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "doc_id", "text",
+    )
+    old = d.where(F.col("doc_id") % 10 != 0).select("url", "text")
+    new = d.where(F.col("doc_id") % 7 != 3).select(
+        "url",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return old, new
+
+
+_SNAP_OLD_SQL = (
+    "SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS url, "
+    "text FROM documents WHERE doc_id % 10 != 0"
+)
+_SNAP_NEW_SQL = (
+    "SELECT 'https://example.com/' || CAST(doc_id AS VARCHAR) AS url, "
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 7 != 3"
+)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (operators/snapshots.py): full-outer
+    fingerprint join — content never shuffles, only (url, md5)."""
+    old, new = _snap_frames(spark, sf_dir)
+    return snaps.snapshot_diff(old, new)
+
+
+def _q_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn report over the same fixture: 4-row status rollup."""
+    old, new = _snap_frames(spark, sf_dir)
+    return snaps.snapshot_diff_stats(old, new)
+
+
 def _q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing: the corpus as one
     hash-ordered token stream cut into exact 256-token windows, docs
@@ -2629,6 +2674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": _q_cms_counts,
         "hll_words": _q_hll_words,
         "len_quantiles": _q_len_quantiles,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_stats": _q_snapshot_stats,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -3257,6 +3304,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             _HIST_QS, n_bins=_HIST_BINS,
         ),
+        "snapshot_diff": snaps.snapshot_diff_sql(
+            _SNAP_OLD_SQL, _SNAP_NEW_SQL),
+        "snapshot_stats": snaps.snapshot_diff_stats_sql(
+            _SNAP_OLD_SQL, _SNAP_NEW_SQL),
         "bpe_merges": _bpe.bpe_train_sql(
             "documents", n_merges=8, top_words=300
         ),
