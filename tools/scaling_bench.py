@@ -479,6 +479,15 @@ co-tenant load during the driver's r3 window, not a regression, and
 the per-trial instrumentation now makes that class of artifact
 self-documenting.
 
+Round-4 session-final suite (sf0.1, local[32], median-of-3 with
+per-trial walls + load in the JSON): wall 106.8 s over 37 queries
+(r3: 137.1 s over 30), flagship extraction **3,754 docs/sec** (r3:
+2,781, +35%), ann_lsh_topk 1.93 s (trials [2.16, 1.89, 1.93] — the
+r3 outlier class closed), new entries pq_topk 2.66 s, ivfpq_topk
+3.48 s, pack_concat 0.82 s; slowest remains dedup_clusters 8.9 s
+(the honest cold pointer-jumping cost). No query above 2x its
+reproduced-quiet cost.
+
 ## ANN quality: IVF recall vs brute force (tools/ivf_recall.py)
 
 Measured at sf0.1 (2,000 vectors, 64-dim synthetic embeddings),
