@@ -156,6 +156,12 @@ def main() -> None:
 
     timed("textstats", q_textstats)
 
+    # exact heavy hitters: bounded MG candidate pass + native verify
+    timed(
+        "heavy_hitters",
+        lambda: entry._q_heavy_hitters(spark, sf_dir).count(),
+    )
+
     # BPE encode with the shipped merge list: pure chained-replace
     # codegen projection (the map-only tokenization path)
     timed(
@@ -202,6 +208,11 @@ def main() -> None:
     )
     timed("pagerank", lambda: entry._q_pagerank(spark, sf_dir).count())
     timed("cdx_latest", lambda: entry._q_cdx_latest(spark, sf_dir).count())
+    # crawl refresh: snapshot fingerprint diff → politeness waves
+    timed(
+        "refresh_plan",
+        lambda: entry._q_refresh_plan(spark, sf_dir).count(),
+    )
     timed("bm25_topk", lambda: entry._q_bm25_topk(spark, sf_dir).count())
     timed(
         "bm25_indexed",
