@@ -259,6 +259,11 @@ def main() -> None:
         "sessionize",
         lambda: entry._q_sessionize(spark, sf_dir).count(),
     )
+    # banded interval join: equi-join decomposition of the range join
+    timed(
+        "click_attribution",
+        lambda: entry._q_click_attribution(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -258,6 +258,90 @@ WHERE _tag = 1
 """
 
 
+# ---------------------------------------------------------- interval join
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    window_secs: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same ``on`` key and
+    ``0 <= right_ts - left_ts <= window_secs`` — the attribution /
+    stream-correlation join (click within a day of the view, error
+    within a minute of the deploy).
+
+    A naive range join is a per-key cartesian scan — quadratic in the
+    hot key's row count, the classic 100 TB blow-up. This is the
+    BANDED decomposition instead: bucket both sides by
+    ``trunc(ts / W)``, fan each LEFT row into its bucket and the next
+    (2x map-only duplication), equi-join on (key, bucket), then apply
+    the exact window predicate. For any pair within the window,
+    ``trunc(rt/W) ∈ {trunc(lt/W), trunc(lt/W)+1}`` (adding one full W
+    advances the truncated quotient by exactly 1), so every
+    qualifying pair is found exactly once — no range scan, one narrow
+    shuffle per side, and each join task sees only a 2W time slice of
+    any key. The bucket arithmetic is the module's exact
+    epoch-micros integer idiom; ``delta_us`` is emitted alongside the
+    right payload columns (which must not collide with left's)."""
+    if window_secs <= 0:
+        raise ValueError(f"window_secs must be > 0, got {window_secs}")
+    w_us = int(window_secs) * 1_000_000
+    lt = _micros(left, left_ts)
+    rt = _micros(right, right_ts)
+    lb = ((lt - lt % w_us) / w_us).cast("bigint")
+    rb = ((rt - rt % w_us) / w_us).cast("bigint")
+    l = left.select(
+        "*",
+        lt.alias("_lt"),
+        F.explode(F.array(lb, lb + 1)).alias("_bk"),
+    )
+    r = right.select(
+        F.col(on).alias("_ron"),
+        rt.alias("_rt"),
+        rb.alias("_rbk"),
+        *right_cols,
+    )
+    delta = F.col("_rt") - F.col("_lt")
+    return (
+        l.join(
+            r,
+            (l[on] == r["_ron"]) & (F.col("_bk") == F.col("_rbk")),
+        )
+        .where((delta >= 0) & (delta <= w_us))
+        .select(*left.columns, *right_cols, delta.alias("delta_us"))
+    )
+
+
+def interval_join_sql(
+    left_sql: str,
+    right_sql: str,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    window_secs: int,
+) -> str:
+    """DuckDB twin of :func:`interval_join`: the NAIVE range join the
+    banded plan is provably equal to (`left_cols` lists the left
+    frame's output columns including `on`)."""
+    w_us = int(window_secs) * 1_000_000
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c}" for c in right_cols)
+    return f"""
+SELECT {lsel}, {rsel},
+       epoch_us(r.{right_ts}) - epoch_us(l.{left_ts}) AS delta_us
+FROM ({left_sql}) l JOIN ({right_sql}) r
+  ON l.{on} = r.{on}
+ AND epoch_us(r.{right_ts}) - epoch_us(l.{left_ts}) BETWEEN 0 AND {w_us}
+"""
+
+
 # ---------------------------------------------------------- window funnel
 
 def window_funnel(

@@ -356,3 +356,166 @@ def test_retention_twin(spark, retention_events):
         for r in c.execute(retention_sql("events", period_days=1)).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------- interval join
+
+IJ_EVENTS = [
+    # user 1: views at 0s and 100s; purchases at 50s, 100s, 3650s
+    (0, _ts(0), 1, "view", 1.0),
+    (1, _ts(100), 1, "view", 1.0),
+    (2, _ts(50), 1, "purchase", 9.0),
+    (3, _ts(100), 1, "purchase", 8.0),       # equal-ts: delta 0 matches
+    (4, _ts(3650), 1, "purchase", 7.0),      # 3600 after view@50? no view@50
+    # user 2: purchase BEFORE any view — never matches
+    (5, _ts(10), 2, "purchase", 5.0),
+    (6, _ts(20), 2, "view", 1.0),
+    # user 3: purchase exactly window after the view (inclusive edge)
+    (7, _ts(0), 3, "view", 1.0),
+    (8, _ts(3600), 3, "purchase", 4.0),
+    # user 3: one past the window
+    (9, _ts(3600, 1), 3, "purchase", 3.0),
+]
+
+
+@pytest.fixture(scope="module")
+def ij_events(spark):
+    return spark.createDataFrame(IJ_EVENTS, SCHEMA)
+
+
+def _ij(spark, ij_events, window_secs=3600):
+    from pdf_parser_spark.operators.events import interval_join
+
+    views = ij_events.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    buys = ij_events.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"), F.col("value").alias("buy_value"),
+    )
+    return interval_join(
+        views, buys, on="user_id", left_ts="ts", right_ts="buy_ts",
+        right_cols=["buy_id", "buy_value"], window_secs=window_secs,
+    )
+
+
+def test_interval_join_semantics(spark, ij_events):
+    got = {
+        (r.view_id, r.buy_id, r.delta_us)
+        for r in _ij(spark, ij_events).collect()
+    }
+    assert got == {
+        (0, 2, 50_000_000),        # view@0 → buy@50
+        (0, 3, 100_000_000),       # view@0 → buy@100
+        (1, 3, 0),                 # equal timestamps match (delta 0)
+        (1, 4, 3_550_000_000),
+        (7, 8, 3_600_000_000),     # right at window edge: inclusive
+    }
+
+
+def test_interval_join_bucket_boundary_no_dupes(spark):
+    """Pairs that straddle a bucket boundary are found exactly once,
+    and same-bucket pairs are not double-counted by the 2x fan-out."""
+    from pdf_parser_spark.operators.events import interval_join
+
+    rows = [
+        (0, _ts(59), 1, "view", 1.0),
+        (1, _ts(61), 1, "purchase", 1.0),   # next bucket (W=60)
+        (2, _ts(59, 500), 1, "purchase", 1.0),  # same bucket
+    ]
+    ev = spark.createDataFrame(rows, SCHEMA)
+    views = ev.where("event_type='view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    buys = ev.where("event_type='purchase'").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"))
+    out = interval_join(
+        views, buys, on="user_id", left_ts="ts", right_ts="buy_ts",
+        right_cols=["buy_id"], window_secs=60,
+    ).collect()
+    assert sorted((r.view_id, r.buy_id) for r in out) == [(0, 1), (0, 2)]
+
+
+def test_interval_join_guard(spark, ij_events):
+    from pdf_parser_spark.operators.events import interval_join
+
+    with pytest.raises(ValueError):
+        interval_join(
+            ij_events, ij_events, on="user_id", left_ts="ts",
+            right_ts="ts", right_cols=[], window_secs=0,
+        )
+
+
+def test_interval_join_twin(spark, ij_events):
+    from pdf_parser_spark.operators.events import interval_join_sql
+
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, "
+        "user_id BIGINT, event_type VARCHAR, value DOUBLE)"
+    )
+    c.executemany("INSERT INTO events VALUES (?,?,?,?,?)", IJ_EVENTS)
+    sql = interval_join_sql(
+        "SELECT user_id, ts, event_id AS view_id FROM events "
+        "WHERE event_type = 'view'",
+        "SELECT user_id, ts AS buy_ts, event_id AS buy_id, "
+        "value AS buy_value FROM events WHERE event_type = 'purchase'",
+        on="user_id", left_ts="ts", right_ts="buy_ts",
+        left_cols=["user_id", "view_id"],
+        right_cols=["buy_id", "buy_value"],
+        window_secs=3600,
+    )
+    want = sorted(tuple(r) for r in c.execute(sql).fetchall())
+    got = sorted(
+        tuple(r)
+        for r in _ij(spark, ij_events).select(
+            "user_id", "view_id", "buy_id", "buy_value", "delta_us"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_interval_join_stream_matches_batch_on_fixture(spark, tmp_path):
+    """Streaming↔batch interval-join parity on the real events
+    fixture: the watermarked stream-stream inner join run to
+    completion equals the batch banded operator row-for-row — two
+    genuinely different execution paths (symmetric hash join with
+    range eviction vs bucket-fan-out equi-join) on one contract."""
+    import os
+
+    from pdf_parser_spark.operators.events import interval_join
+    from pdf_parser_spark.streaming.interval import run_interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    views_dir = str(tmp_path / "views")
+    buys_dir = str(tmp_path / "buys")
+    ev.where("event_type = 'view'").write.parquet(views_dir)
+    ev.where("event_type = 'purchase'").write.parquet(buys_dir)
+    out = str(tmp_path / "ij_out")
+    run_interval_join(
+        spark, views_dir, buys_dir, out, str(tmp_path / "ij_ckpt"),
+        on="user_id", left_ts="ts", right_ts="buy_ts",
+        right_cols=["buy_id", "buy_value"], window_secs=86400,
+        left_select=["user_id", "ts", "event_id AS view_id"],
+        right_select=["user_id", "ts AS buy_ts", "event_id AS buy_id",
+                      "value AS buy_value"],
+    )
+    got = {
+        (r.view_id, r.buy_id, r.delta_us, r.buy_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    views = ev.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    buys = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        F.col("value").alias("buy_value"))
+    want = {
+        (r.view_id, r.buy_id, r.delta_us, r.buy_value)
+        for r in interval_join(
+            views, buys, on="user_id", left_ts="ts", right_ts="buy_ts",
+            right_cols=["buy_id", "buy_value"], window_secs=86400,
+        ).collect()
+    }
+    assert len(want) > 20
+    assert got == want
