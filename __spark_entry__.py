@@ -491,6 +491,117 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "frame_idx")
 
 
+#: constant 54-byte BMP header for the 24x16 synthetic images
+#: (file size 1206, pixel offset 54, 24bpp, sizeimage 1152; stride
+#: 24*3 = 72 is 4-aligned, so no row padding).
+_BMP_24x16_HDR = (
+    "424D" "B6040000" "00000000" "36000000"
+    "28000000" "18000000" "10000000" "0100" "1800" "00000000"
+    "80040000" "00000000" "00000000" "00000000" "00000000"
+)
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native (codegen, no decode, no UDF) header metadata over
+    payloads carrying REAL PNG/GIF/BMP/WAV headers — the 100 TB
+    media-telemetry pass (media/native.py). The twin reproduces the
+    byte slicing on DuckDB's hex space."""
+    from pdf_parser_spark.media import native as mn
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payload = F.unhex(F.concat(
+        mn.synth_header_hex(F.col("doc_id")),
+        mn.md5_stream_hex(F.col("doc_id"), 32),
+    ))
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return mn.media_metadata(media)
+
+
+def _q_ahash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the gate: 24x16 24-bit BMPs (md5-stream
+    pixels) decoded by media/codecs.py::bmp_decode (bottom-up rows,
+    BGR->RGB) and average-hashed with exact integer arithmetic
+    (media/codecs.py::ahash_bits); the DuckDB twin never decodes —
+    it re-derives each pixel byte by hex slicing and reproduces the
+    block-sum comparisons, so a bitwise match proves the codec's
+    row-order/channel handling, not just the plumbing."""
+    from pdf_parser_spark.media import native as mn
+    from pdf_parser_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payload = F.unhex(F.concat(
+        F.lit(_BMP_24x16_HDR), mn.md5_stream_hex(F.col("doc_id"), 1152)
+    ))
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return mm.image_ahash(media, grid=8)
+
+
+def _ahash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24x16 BMPs with PLANTED near-duplicates: docs group by fours —
+    %4==0 the original (pixels = md5 stream of the group seed), ==1
+    perturbs the LAST 16 pixel bytes, ==2 the FIRST 16, ==3 is
+    unrelated. Within a group, 0/1/2 differ by <= 6 pixels, so their
+    average-hashes land within a small hamming radius; 3 does not."""
+    from pdf_parser_spark.media import native as mn
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(4))).alias("g")
+    sel = F.pmod(F.col("doc_id"), F.lit(4))
+    sg = mn.md5_stream_hex(F.col("g"), 1152)
+    sd16 = mn.md5_stream_hex(F.col("doc_id"), 16)
+    pix = (
+        F.when(sel == 1, F.concat(F.substring(sg, 1, 2272), sd16))
+        .when(sel == 2, F.concat(sd16, F.substring(sg, 33, 2272)))
+        .when(sel == 3, mn.md5_stream_hex(F.col("doc_id"), 1152))
+        .otherwise(sg)
+    )
+    return d.select("doc_id", g).select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_BMP_24x16_HDR), pix)).alias("payload"),
+    )
+
+
+def _q_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: REAL BMP decode -> integer aHash ->
+    pigeonhole-banded hamming join (operators/multimodal.py::
+    ahash_neardup_pairs). The twin re-derives the hashes by hex
+    slicing and verifies hamming with a positional-compare lambda —
+    two completely different hamming computations must agree."""
+    from pdf_parser_spark.operators import multimodal as mm
+
+    hashes = mm.image_ahash(_ahash_media(spark, sf_dir), grid=8)
+    return mm.ahash_neardup_pairs(hashes, max_hamming=6, n_bands=8)
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the gate: mono 8-bit PCM WAVs (256
+    md5-stream samples, per-row sample rate) decoded by
+    media/codecs.py::wav_decode (RIFF chunk walk) with exact-integer
+    features (sum of squares, strict-sign zero crossings, peak,
+    floor-division duration); the twin re-derives the samples by hex
+    slicing."""
+    from pdf_parser_spark.media import native as mn
+    from pdf_parser_spark.operators import multimodal as mm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    rate = (F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(8)) * 1000).cast("int")
+    hdr = F.concat(
+        F.lit("52494646" "24010000" "57415645" "666D7420" "10000000"
+              "0100" "0100"),
+        mn.le32_hex(rate), mn.le32_hex(rate),
+        F.lit("0100" "0800" "64617461" "00010000"),
+    )
+    payload = F.unhex(F.concat(hdr, mn.md5_stream_hex(F.col("doc_id"), 256)))
+    media = d.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return mm.audio_features(media)
+
+
 def _q_extract_pdf_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 lattice table extraction in the correctness gate: build
     ruled-table PDFs from each doc's words (datagen.pdfgen vector
@@ -1353,6 +1464,30 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.operators import events as ev
 
     return ev.sessionize(_events(spark, sf_dir), gap_secs=900)
+
+
+def _q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/events.py): every purchase
+    within a day AFTER a view by the same user. The range predicate
+    never runs as a per-key cartesian — both sides bucket by
+    trunc(ts/W), the left fans into 2 buckets, and an equi-join +
+    exact window filter finds each qualifying pair exactly once."""
+    from pdf_parser_spark.operators import events as ev
+
+    e = _events(spark, sf_dir)
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        F.col("value").alias("buy_value"),
+    )
+    return ev.interval_join(
+        views, buys, on="user_id", left_ts="ts", right_ts="buy_ts",
+        right_cols=["buy_id", "buy_value"], window_secs=86400,
+    ).select("user_id", "view_id", "buy_id", "buy_value", "delta_us")
 
 
 def _q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2705,6 +2840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "refresh_plan": _q_refresh_plan,
         "zorder_keys": _q_zorder_keys,
+        "click_attribution": _q_click_attribution,
+        "media_metadata": _q_media_metadata,
+        "ahash_images": _q_ahash_images,
+        "ahash_neardup": _q_ahash_neardup,
+        "audio_features": _q_audio_features,
         "curate_incremental": _q_curate_incremental,
         "token_budget_sample": _q_token_budget_sample,
         "gopher_gate": _q_gopher_gate,
@@ -2884,6 +3024,143 @@ def _frame_sample_sql() -> str:
     return f"""
 SELECT doc_id AS media_id, unnest(range(0, 1 + {n} % 32, 4)) AS frame_idx
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def _media_metadata_sql() -> str:
+    from pdf_parser_spark.media.native import (
+        md5_stream_hex_sql, media_metadata_sql, synth_header_hex_sql,
+    )
+
+    synth = (
+        "SELECT doc_id AS media_id, "
+        f"from_hex({synth_header_hex_sql('doc_id')} || "
+        f"{md5_stream_hex_sql('doc_id', 32)}) AS payload FROM documents"
+    )
+    return media_metadata_sql(f"({synth})", "media_id", "payload")
+
+
+def _ahash_images_sql() -> str:
+    """Byte-slicing twin of the REAL BMP-decode + average-hash path:
+    stored pixel p of the bottom-up 24x16 image is bytes [3p, 3p+3)
+    of the md5 stream (stride 72 = 24*3, no padding), image row
+    y = 15 - p//24; gray = B+G+R (channel-order-free); bit(by,bx) =
+    blocksum * n_pixels > total * blockcount, exact integers."""
+    from pdf_parser_spark.media.native import md5_stream_hex_sql
+
+    return f"""
+WITH hx AS (
+  SELECT doc_id, {md5_stream_hex_sql('doc_id', 1152)} AS h FROM documents
+), px AS (
+  SELECT doc_id,
+         (15 - (p // 24)) AS y, (p % 24) AS x,
+         ('0x' || substr(h, p * 6 + 1, 2))::BIGINT
+         + ('0x' || substr(h, p * 6 + 3, 2))::BIGINT
+         + ('0x' || substr(h, p * 6 + 5, 2))::BIGINT AS gray
+  FROM hx, range(384) t(p)
+), blocks AS (
+  SELECT doc_id, y // 2 AS by, x // 3 AS bx,
+         sum(gray) AS bsum, count(*) AS bcnt
+  FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, sum(gray) AS total FROM px GROUP BY 1
+)
+SELECT b.doc_id AS media_id,
+       string_agg(CASE WHEN b.bsum * 384 > t.total * b.bcnt
+                       THEN '1' ELSE '0' END, '' ORDER BY b.by, b.bx)
+         AS ahash
+FROM blocks b JOIN tot t USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _ahash_neardup_sql() -> str:
+    """Twin of the planted-near-dup image pipeline: same md5-stream
+    pixel construction, hash re-derived by hex slicing (never a
+    decode), pairs by the same 8-band pigeonhole, hamming by a
+    positional-compare lambda (vs Spark's conv/xor/popcount)."""
+    from pdf_parser_spark.media.native import md5_stream_hex_sql
+
+    sg = md5_stream_hex_sql("g", 1152)
+    sd16 = md5_stream_hex_sql("doc_id", 16)
+    sfull = md5_stream_hex_sql("doc_id", 1152)
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS g FROM documents
+), hx AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN substr({sg}, 1, 2272) || {sd16}
+           WHEN 2 THEN {sd16} || substr({sg}, 33, 2272)
+           WHEN 3 THEN {sfull}
+           ELSE {sg} END AS h
+  FROM seeds
+), px AS (
+  SELECT doc_id,
+         (15 - (p // 24)) AS y, (p % 24) AS x,
+         ('0x' || substr(h, p * 6 + 1, 2))::BIGINT
+         + ('0x' || substr(h, p * 6 + 3, 2))::BIGINT
+         + ('0x' || substr(h, p * 6 + 5, 2))::BIGINT AS gray
+  FROM hx, range(384) t(p)
+), blocks AS (
+  SELECT doc_id, y // 2 AS by, x // 3 AS bx,
+         sum(gray) AS bsum, count(*) AS bcnt
+  FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, sum(gray) AS total FROM px GROUP BY 1
+), ah AS (
+  SELECT b.doc_id AS media_id,
+         string_agg(CASE WHEN b.bsum * 384 > t.total * b.bcnt
+                         THEN '1' ELSE '0' END, '' ORDER BY b.by, b.bx)
+           AS ahash
+  FROM blocks b JOIN tot t USING (doc_id)
+  GROUP BY 1
+), bands AS (
+  SELECT media_id, ahash,
+         k::VARCHAR || ':' || substr(ahash, k * 8 + 1, 8) AS bk
+  FROM ah, range(8) t(k)
+), ok AS (
+  SELECT bk FROM bands GROUP BY bk
+  HAVING count(*) > 1 AND count(*) <= 1000
+), bb AS (
+  SELECT b.media_id, b.ahash, b.bk FROM bands b JOIN ok USING (bk)
+)
+SELECT * FROM (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         len(list_filter(range(1, 65),
+             i -> substr(x.ahash, i, 1) <> substr(y.ahash, i, 1)))::BIGINT
+           AS hamming
+  FROM bb x JOIN bb y ON x.bk = y.bk AND x.media_id < y.media_id
+) WHERE hamming <= 6
+"""
+
+
+def _audio_features_sql() -> str:
+    from pdf_parser_spark.media.native import md5_stream_hex_sql
+
+    return f"""
+WITH hx AS (
+  SELECT doc_id, (8000 + doc_id % 8 * 1000) AS rate,
+         {md5_stream_hex_sql('doc_id', 256)} AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, rate, i,
+         ('0x' || substr(h, i * 2 + 1, 2))::BIGINT - 128 AS v
+  FROM hx, range(256) t(i)
+), z AS (
+  SELECT doc_id, rate, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id AS media_id,
+       any_value(rate)::INT AS sample_rate,
+       count(*)::INT AS n_samples,
+       (count(*) * 1000000 // any_value(rate))::BIGINT AS duration_us,
+       sum(v * v)::BIGINT AS rms_sq_sum,
+       sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings,
+       max(abs(v))::INT AS peak
+FROM z GROUP BY doc_id
 """
 
 
@@ -3113,6 +3390,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": _media_features_sql(),
         "frame_sample": _frame_sample_sql(),
+        "media_metadata": _media_metadata_sql(),
+        "ahash_images": _ahash_images_sql(),
+        "ahash_neardup": _ahash_neardup_sql(),
+        "audio_features": _audio_features_sql(),
         "text_csv_structure": (
             "WITH w AS (SELECT doc_id, "
             "string_split_regex(trim(text), '\\s+') AS ws FROM documents) "
@@ -3359,6 +3640,16 @@ def oracle_sql() -> dict[str, str]:
             salt="fr",
         ),
         "sessionize": _ev.sessionize_sql("events", gap_secs=900),
+        "click_attribution": _ev.interval_join_sql(
+            "SELECT user_id, ts, event_id AS view_id FROM events "
+            "WHERE event_type = 'view'",
+            "SELECT user_id, ts AS buy_ts, event_id AS buy_id, "
+            "value AS buy_value FROM events WHERE event_type = 'purchase'",
+            on="user_id", left_ts="ts", right_ts="buy_ts",
+            left_cols=["user_id", "view_id"],
+            right_cols=["buy_id", "buy_value"],
+            window_secs=86400,
+        ),
         "asof_last_view": (
             "SELECT event_id, user_id, view_id, asof_ts_us FROM ("
             + _ev.asof_join_sql(

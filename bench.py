@@ -264,6 +264,15 @@ def main() -> None:
         "click_attribution",
         lambda: entry._q_click_attribution(spark, sf_dir).count(),
     )
+    # media tier: native header telemetry + real BMP decode -> aHash
+    timed(
+        "media_metadata",
+        lambda: entry._q_media_metadata(spark, sf_dir).count(),
+    )
+    timed(
+        "ahash_images",
+        lambda: entry._q_ahash_images(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

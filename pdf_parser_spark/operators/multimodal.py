@@ -2,16 +2,24 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata —
 the schema, partitioning, Arrow batch shape, and UDF signatures are
-real and tested; the *codec* step is stubbed because no image/audio
-libraries exist in this container:
+real and tested. The codec step is REAL for every format whose byte
+layout needs no external library (media/codecs.py: PNG via stdlib
+zlib with all five scanline filters, uncompressed BMP, WAV PCM, y4m
+raw video); only JPEG entropy decode and MP4/H.264 remain stubbed:
 
 - :func:`decode_image` / :func:`decode_audio` / :func:`decode_video`
-  raise ``NotImplementedError`` — the seam where Pillow / soundfile /
-  pyav would plug in on a real cluster.
+  dispatch on magic bytes to the pure-Python codecs and raise
+  ``NotImplementedError`` only for the library-bound formats (the
+  seam where Pillow / soundfile / pyav would plug in on a real
+  cluster). Header-only metadata needs NO decode at all —
+  media/native.py parses it as a codegen projection.
 - :func:`media_features` runs the real ``mapInPandas`` pass but uses a
   clearly-marked DETERMINISTIC FAKE decode (dimensions derived from
   payload length) so the distributed plumbing is testable end-to-end
-  and oracle-comparable.
+  and oracle-comparable over arbitrary payloads (the `documents`
+  fixture's payloads are text bytes, not containers);
+  :func:`real_media_features` is the same pass with the REAL decoders
+  + row-level error containment, for tables of actual media bytes.
 
 Scale notes (100 TB): payloads never leave the executor — features
 are computed per Arrow batch and only small typed rows shuffle.
@@ -27,7 +35,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
@@ -55,17 +63,37 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_image(payload: bytes):
-    """Real image decode seam (Pillow on a real cluster)."""
+    """Image decode: REAL for PNG (stdlib zlib) and uncompressed BMP
+    (media/codecs.py) -> uint8 array (h, w[, ch]); JPEG/WebP/TIFF need
+    a native library and raise (the Pillow seam on a real cluster)."""
+    from ..media import codecs
+
+    if payload[:8] == codecs.PNG_SIG:
+        return codecs.png_decode(payload)
+    if payload[:2] == b"BM":
+        return codecs.bmp_decode(payload)
     raise NotImplementedError("image codec not available in this environment")
 
 
 def decode_audio(payload: bytes):
-    """Real audio decode seam (soundfile/librosa on a real cluster)."""
+    """Audio decode: REAL for WAV PCM (media/codecs.py) ->
+    (samples int32 [n, ch], rate, bits); compressed formats (mp3/ogg/
+    flac) need a native library and raise (the soundfile seam)."""
+    from ..media import codecs
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return codecs.wav_decode(payload)
     raise NotImplementedError("audio codec not available in this environment")
 
 
 def decode_video(payload: bytes):
-    """Real video decode seam (pyav/ffmpeg on a real cluster)."""
+    """Video decode: REAL for y4m raw streams (media/codecs.py) ->
+    (luma frames, w, h, chroma); container formats (mp4/mkv/webm) need
+    ffmpeg and raise (the pyav seam)."""
+    from ..media import codecs
+
+    if payload.startswith(b"YUV4MPEG2"):
+        return codecs.y4m_decode(payload)
     raise NotImplementedError("video codec not available in this environment")
 
 
@@ -126,6 +154,232 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, FEATURE_SCHEMA
     )
+
+
+REAL_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def real_media_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Typed features via the REAL decoders (PNG/BMP/WAV/y4m decoded
+    end-to-end; JPEG gets header-sniffed format only) with row-level
+    error containment: a corrupt payload yields its row with `error`
+    set, never a task failure — the extraction tier's contract
+    (jobs/extract.py) applied to media bytes. Arrow-batched, payloads
+    never shuffle, only the typed rows leave the executor."""
+    from ..media.native import sniff_format
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, fmt, payload in zip(b["_id"], b["_fmt"], b["_payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                r = {"media_id": int(mid), "format": fmt, "width": None,
+                     "height": None, "n_frames": None, "sample_rate": None,
+                     "n_samples": None, "channels": None, "error": None}
+                try:
+                    if fmt in ("png", "bmp"):
+                        img = decode_image(payload)
+                        r["height"], r["width"] = img.shape[0], img.shape[1]
+                        r["n_frames"] = 1
+                    elif fmt == "wav":
+                        samples, rate, _bits = decode_audio(payload)
+                        r["sample_rate"] = rate
+                        r["n_samples"] = samples.shape[0]
+                        r["channels"] = samples.shape[1]
+                    elif fmt == "y4m":
+                        frames, w, h, _c = decode_video(payload)
+                        r["width"], r["height"] = w, h
+                        r["n_frames"] = len(frames)
+                    elif fmt == "unknown":
+                        r["error"] = "unknown format"
+                    # jpeg/gif: format recorded, decode unsupported here
+                except NotImplementedError as e:
+                    r["error"] = f"unsupported: {e}"
+                except Exception as e:  # corrupt payload -> contained row
+                    r["error"] = f"{type(e).__name__}: {e}"
+                rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select(
+        F.col(id_col).alias("_id"),
+        sniff_format(F.col(payload_col)).alias("_fmt"),
+        F.col(payload_col).alias("_payload"),
+    ).mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
+def image_ahash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """(media_id, ahash) — integer average-hash over REAL-decoded
+    pixels (media/codecs.py), the image near-dup key. Exact integer
+    arithmetic end-to-end (block sums cross-multiplied against the
+    global sum — see media/codecs.py::ahash_bits), so a byte-slicing
+    SQL twin reproduces it bit-for-bit; near-dup pairs compose with
+    the simhash banded-hamming machinery (operators/dedup.py) by
+    treating the bit string as the fingerprint. Rows that fail to
+    decode are dropped (the features pass reports them)."""
+    from ..media.codecs import ahash_bits, gray_sum
+
+    out_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("ahash", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["_id"], b["_payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                except Exception:
+                    continue
+                rows.append({
+                    "media_id": int(mid),
+                    "ahash": ahash_bits(gray_sum(img), grid=grid),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    ).mapInPandas(run, out_schema)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming <= max_hamming) over
+    :func:`image_ahash` bit strings — the Manku WWW'07 banded shape
+    lifted from operators/dedup.py::simhash_neardup_pairs: split the
+    64-bit hash into ``n_bands`` bands; by pigeonhole any pair within
+    ``max_hamming < n_bands`` differing bits shares an untouched band,
+    so the bucket equi-join is EXACT — no all-pairs scan. One shuffle
+    on 9-char band keys with the count-first degenerate-bucket cap;
+    verification converts each 32-bit half via conv(base 2) and
+    popcounts the xor, all native."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    w = 64 // n_bands
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{k}:"), F.substring("_h", k * w + 1, w))
+            for k in range(n_bands)
+        ])).alias("_bk"),
+    )
+    ok = (
+        bands.groupBy("_bk").agg(F.count("*").alias("_n"))
+        .where((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select("_bk")
+    )
+    buckets = bands.join(ok, "_bk", "left_semi")
+    x, y = buckets.alias("x"), buckets.alias("y")
+
+    def half(side: str, k: int) -> Column:
+        return F.conv(
+            F.substring(F.col(f"{side}._h"), k * 32 + 1, 32), 2, 10
+        ).cast("long")
+
+    ham = sum(
+        F.bit_count(half("x", k).bitwiseXOR(half("y", k))) for k in (0, 1)
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x._bk") == F.col("y._bk"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_us", LongType()),
+    StructField("rms_sq_sum", LongType()),
+    StructField("zero_crossings", LongType()),
+    StructField("peak", IntegerType()),
+])
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact-integer audio features over REAL-decoded WAV PCM samples
+    (channel 0): sum of squared amplitudes (RMS numerator — the final
+    sqrt/divide is the caller's, floats would break the cross-engine
+    oracle), strict sign-change zero crossings, peak |amplitude|,
+    integer-floor duration in µs. Non-WAV / corrupt rows are dropped
+    (the features pass reports them)."""
+    from ..media.codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["_id"], b["_payload"]):
+                try:
+                    samples, rate, _bits = wav_decode(bytes(payload))
+                except Exception:
+                    continue
+                s = samples[:, 0].astype(np.int64)
+                n = int(s.shape[0])
+                prod = s[1:] * s[:-1]
+                rows.append({
+                    "media_id": int(mid),
+                    "sample_rate": rate,
+                    "n_samples": n,
+                    "duration_us": n * 1_000_000 // rate if rate else 0,
+                    "rms_sq_sum": int((s * s).sum()),
+                    "zero_crossings": int((prod < 0).sum()),
+                    "peak": int(np.abs(s).max()) if n else 0,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    ).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:

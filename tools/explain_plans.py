@@ -569,6 +569,46 @@ def main() -> None:
         "writer pays ONE hash repartition + per-task external sort.",
     )
 
+    add(
+        "Exact heavy hitters (Misra-Gries candidates + verify)",
+        entry._q_heavy_hitters(spark, SF),
+        "The candidate pass is ONE mapInPandas carrying k counters of "
+        "state per partition; the exact verify groupBy's key space is "
+        "the broadcast-semi-joined candidate set, so its Exchange is "
+        "bounded by partitions*k rows, never |vocabulary| — the Zipf "
+        "tail dies map-side. Threshold compare joins the 1-row total "
+        "broadcast in-plan.",
+    )
+
+    add(
+        "Banded interval join (click attribution)",
+        entry._q_click_attribution(spark, SF),
+        "The range predicate never becomes a per-key cartesian: "
+        "trunc(ts/W) bucket keys make it an EQUI-join (one narrow "
+        "shuffle per side, left rows fanned x2 map-side), and the "
+        "exact window filter runs post-join inside the same stage — "
+        "each join task sees a 2W time slice of any key at any "
+        "corpus size.",
+    )
+
+    add(
+        "Native media header telemetry",
+        entry._q_media_metadata(spark, SF),
+        "Format sniff + dimension/sample-rate extraction as ONE "
+        "codegen projection over the binary column (hex-slice + conv "
+        "— no UDF, no decode, no shuffle): the 100 TB media-table "
+        "audit is a map-only scan.",
+    )
+
+    add(
+        "Image average-hash over real decode",
+        entry._q_ahash_images(spark, SF),
+        "One Arrow-batched mapInPandas (true BMP decode + integer "
+        "block-sum hash) — payload bytes never shuffle, only (id, 64-"
+        "char hash) rows leave the executor; near-dup pairing then "
+        "rides the banded-hamming machinery on narrow keys.",
+    )
+
     body = (
         "# PLANS — physical-plan evidence for the scale design\n\n"
         "Captured by tools/explain_plans.py at sf0.01 (plans are "
