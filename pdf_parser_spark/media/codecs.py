@@ -166,6 +166,286 @@ def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# ----------------------------------------------------------------- JPEG
+
+
+def jpeg_dimensions(payload: bytes) -> Tuple[int, int, int]:
+    """(width, height, channels) from the SOF marker — a real marker
+    walk (skip each segment by its big-endian length; SOF0/1/2/3 and
+    the extended SOF5-15 minus DHT/DAC/RST carry the frame header),
+    NOT an entropy decode: dimensions are available without libjpeg,
+    pixel data is not (decode_image raises for JPEG)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise MediaFormatError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaFormatError("desynchronized marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 10 > len(payload):
+                raise MediaFormatError("truncated SOF")
+            h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            return w, h, payload[pos + 9]
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise MediaFormatError("no SOF marker found")
+
+
+# ------------------------------------------------------------------ GIF
+#
+# GIF87a/89a with a REAL LZW codec (GIF's one non-trivial layer): codes
+# are packed LSB-first, the clear code resets the string table, and the
+# code width grows by the giflib convention — after processing code #k,
+# if the next assignable entry equals 1 << width, widen (cap 12 bits;
+# at 4096 entries the decoder stops adding until the next clear and the
+# encoder emits a clear itself). Interlaced images de-permute through
+# the 4-pass row order of spec §appendix-e. Frames are the raw image
+# descriptors (no GCE disposal compositing — feature extraction wants
+# dimensions/frame-count/pixels, not playback); transparency indices
+# render as their palette color for the same reason.
+
+
+def _lzw_decode(data: bytes, mcs: int) -> List[int]:
+    """GIF-variant LZW: concatenated sub-block bytes -> pixel indices."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out: List[int] = []
+    prev: Tuple[int, ...] = ()
+    acc = accbits = pos = 0
+    n = len(data)
+    while True:
+        while accbits < code_size:
+            if pos >= n:
+                return out  # missing explicit EOI: tolerate, data ended
+            acc |= data[pos] << accbits
+            pos += 1
+            accbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        accbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = mcs + 1
+            prev = ()
+            continue
+        if code == end:
+            return out
+        if not prev:  # first code after a clear: literal only
+            if code >= len(table):
+                raise MediaFormatError("LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise MediaFormatError("LZW: code beyond table")
+        out.extend(entry)
+        if prev and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _lzw_encode(indices: "np.ndarray", mcs: int) -> bytes:
+    """Pixel indices -> GIF LZW bytes (real string table, not the
+    clear-every-symbol 'uncompressed' trick)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = accbits = 0
+    code_size = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w: Tuple[int, ...] = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        # giflib width rule: widen when the entry about to be assigned
+        # no longer fits — BEFORE the assignment (decoder mirror: after
+        # ITS add, which lands on the same code-stream position).
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = mcs + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    emit(end)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: Interlace pass (start row, step) order, GIF89a spec appendix E.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+    out = np.empty_like(rows)
+    out[np.asarray(order)] = rows
+    return out
+
+
+def gif_decode(payload: bytes) -> Tuple[List[np.ndarray], int, int]:
+    """GIF bytes -> (frames as uint8 (fh, fw, 3) RGB, canvas_w, canvas_h).
+
+    Global + local color tables, interlace, multi-frame. Extensions
+    (GCE/comment/application) are walked and skipped — frames are raw
+    image descriptors, not composited playback state.
+    """
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise MediaFormatError("not a GIF")
+    if len(payload) < 13:
+        raise MediaFormatError("truncated GIF header")
+    cw, ch_ = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def sub_blocks(p: int) -> Tuple[bytes, int]:
+        parts = []
+        while True:
+            if p >= len(payload):
+                raise MediaFormatError("unterminated sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return b"".join(parts), p
+            parts.append(payload[p:p + ln])
+            p += ln
+
+    frames: List[np.ndarray] = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _, pos = sub_blocks(pos)
+            continue
+        if block != 0x2C:
+            raise MediaFormatError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise MediaFormatError("truncated image descriptor")
+        _l, _t, fw, fh = struct.unpack("<HHHH", payload[pos:pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise MediaFormatError("no color table for frame")
+        if pos >= len(payload):
+            raise MediaFormatError("truncated image data")
+        mcs = payload[pos]
+        if not 2 <= mcs <= 8:
+            raise MediaFormatError(f"bad LZW min code size {mcs}")
+        data, pos = sub_blocks(pos + 1)
+        idx = _lzw_decode(data, mcs)
+        if len(idx) < fw * fh:
+            raise MediaFormatError("LZW stream short of frame pixels")
+        arr = np.asarray(idx[: fw * fh], np.int64).reshape(fh, fw)
+        if (arr >= pal.shape[0]).any():
+            raise MediaFormatError("pixel index beyond color table")
+        if ipacked & 0x40:
+            arr = _deinterlace(arr)
+        frames.append(pal[arr])
+    if not frames:
+        raise MediaFormatError("GIF contains no image")
+    return frames, cw, ch_
+
+
+def gif_encode(
+    frames, interlace: bool = False, version: bytes = b"89a"
+) -> bytes:
+    """uint8 (h, w, 3) frame or list of frames -> GIF bytes.
+
+    One shared global color table built from the frames' distinct
+    colors (<= 256 or raises), real LZW compression.
+    """
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w, _ = frames[0].shape
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames]), axis=0
+    )
+    if colors.shape[0] > 256:
+        raise MediaFormatError("more than 256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(colors.shape[0], 2)))))
+    pal = np.zeros((2 << (depth - 1), 3), np.uint8)
+    pal[: colors.shape[0]] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out += b"\x00\x00" + pal.tobytes()
+    mcs = max(2, depth)
+    for f in frames:
+        fh, fw, _ = f.shape
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, fw, fh)
+        out.append(0x40 if interlace else 0x00)
+        rows = f.reshape(fh, fw, 3)
+        if interlace:
+            order = [
+                y for start, step in _GIF_PASSES for y in range(start, fh, step)
+            ]
+            rows = rows[np.asarray(order)]
+        idx = np.fromiter(
+            (lut[tuple(px)] for px in rows.reshape(-1, 3)), np.int64
+        )
+        lzw = _lzw_encode(idx, mcs)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ BMP
 
 

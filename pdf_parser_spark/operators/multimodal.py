@@ -63,15 +63,18 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_image(payload: bytes):
-    """Image decode: REAL for PNG (stdlib zlib) and uncompressed BMP
-    (media/codecs.py) -> uint8 array (h, w[, ch]); JPEG/WebP/TIFF need
-    a native library and raise (the Pillow seam on a real cluster)."""
+    """Image decode: REAL for PNG (stdlib zlib), uncompressed BMP, and
+    GIF (pure-Python LZW; first frame) via media/codecs.py -> uint8
+    array (h, w[, ch]); JPEG/WebP/TIFF need a native library and raise
+    (the Pillow seam on a real cluster)."""
     from ..media import codecs
 
     if payload[:8] == codecs.PNG_SIG:
         return codecs.png_decode(payload)
     if payload[:2] == b"BM":
         return codecs.bmp_decode(payload)
+    if payload[:4] == b"GIF8":
+        return codecs.gif_decode(payload)[0][0]
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -174,8 +177,8 @@ def real_media_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Typed features via the REAL decoders (PNG/BMP/WAV/y4m decoded
-    end-to-end; JPEG gets header-sniffed format only) with row-level
+    """Typed features via the REAL decoders (PNG/BMP/GIF/WAV/y4m
+    decoded end-to-end; JPEG dims via the SOF marker walk) with row-level
     error containment: a corrupt payload yields its row with `error`
     set, never a task failure — the extraction tier's contract
     (jobs/extract.py) applied to media bytes. Arrow-batched, payloads
@@ -204,9 +207,20 @@ def real_media_features(
                         frames, w, h, _c = decode_video(payload)
                         r["width"], r["height"] = w, h
                         r["n_frames"] = len(frames)
+                    elif fmt == "gif":
+                        from ..media.codecs import gif_decode
+
+                        frames, w, hh = gif_decode(payload)
+                        r["width"], r["height"] = w, hh
+                        r["n_frames"] = len(frames)
+                    elif fmt == "jpeg":
+                        from ..media.codecs import jpeg_dimensions
+
+                        w, hh, _ch = jpeg_dimensions(payload)
+                        r["width"], r["height"] = w, hh
+                        r["n_frames"] = 1
                     elif fmt == "unknown":
                         r["error"] = "unknown format"
-                    # jpeg/gif: format recorded, decode unsupported here
                 except NotImplementedError as e:
                     r["error"] = f"unsupported: {e}"
                 except Exception as e:  # corrupt payload -> contained row

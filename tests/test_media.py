@@ -157,6 +157,42 @@ def test_y4m_round_trip_and_truncation():
         C.y4m_decode(C.y4m_encode(frames)[:-10])
 
 
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_round_trip(interlace):
+    img = np.random.RandomState(11).randint(0, 4, (16, 24, 3)).astype(np.uint8) * 64
+    fr, w, h = C.gif_decode(C.gif_encode(img, interlace=interlace))
+    assert (w, h, len(fr)) == (24, 16, 1)
+    assert (fr[0] == img).all()
+
+
+def test_gif_multi_frame_and_table_growth():
+    # >256 table entries forces the LZW code width past its initial
+    # size on both sides; three frames share one global color table.
+    local = np.random.RandomState(13)
+    frames = [
+        (local.randint(0, 4, (32, 48, 3)) * 64).astype(np.uint8)
+        for _ in range(3)
+    ]
+    fr, w, h = C.gif_decode(C.gif_encode(frames))
+    assert (w, h, len(fr)) == (48, 32, 3)
+    assert all((a == b).all() for a, b in zip(fr, frames))
+
+
+def test_gif_rejects_bad_payloads():
+    img = np.zeros((4, 4, 3), np.uint8)
+    good = C.gif_encode(img)
+    with pytest.raises(C.MediaFormatError, match="not a GIF"):
+        C.gif_decode(b"PNG" + good)
+    with pytest.raises(C.MediaFormatError):
+        C.gif_decode(good[:20])  # truncated mid image descriptor
+    xs = np.arange(300, dtype=np.int64)
+    many = np.stack(
+        [xs % 256, xs // 256, np.zeros_like(xs)], axis=1
+    ).astype(np.uint8).reshape(1, 300, 3)
+    with pytest.raises(C.MediaFormatError, match="256 distinct"):
+        C.gif_encode(many)
+
+
 # ------------------------------------------------- perceptual hashing
 
 
@@ -184,6 +220,28 @@ def test_phash_stable_under_upscale():
     ham = sum(x != y for x, y in zip(p1, p2))
     ham_other = sum(x != y for x, y in zip(p1, other))
     assert len(p1) == 63 and ham <= 14 < ham_other
+
+
+def _minimal_jpeg(w, h, progressive=False):
+    """SOI + APP0 + (DHT noise) + SOF + EOI — headers only, no scan."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x01\x02"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x11"
+    return b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_jpeg_dimensions_marker_walk(progressive):
+    w, h, ch = C.jpeg_dimensions(_minimal_jpeg(640, 480, progressive))
+    assert (w, h, ch) == (640, 480, 3)
+
+
+def test_jpeg_no_sof_raises():
+    with pytest.raises(C.MediaFormatError):
+        C.jpeg_dimensions(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(C.MediaFormatError, match="not a JPEG"):
+        C.jpeg_dimensions(b"GIF89a")
 
 
 # ------------------------------------------------------- decode seams
@@ -222,28 +280,33 @@ def media_df(spark):
         (5, bytearray(b"\xff\xd8\xff\xe0jpegish")),
         (6, bytearray(b"garbage payload")),
         (7, bytearray(C.png_encode(img)[:40])),  # truncated png
+        (8, bytearray(C.gif_encode(img))),
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
 def test_real_media_features_contains_errors(spark, media_df):
     rows = {r.media_id: r for r in real_media_features(media_df).collect()}
-    assert len(rows) == 7
+    assert len(rows) == 8
     assert rows[1].format == "png" and (rows[1].width, rows[1].height) == (12, 8)
     assert rows[2].format == "bmp" and (rows[2].width, rows[2].height) == (12, 8)
     assert rows[3].format == "wav" and rows[3].sample_rate == 22050
     assert rows[3].n_samples == 64 and rows[3].channels == 2
     assert rows[4].format == "y4m" and rows[4].n_frames == 3
-    assert rows[5].format == "jpeg" and rows[5].error is None  # sniffed only
+    assert rows[5].format == "jpeg" and rows[5].error  # no SOF -> contained
     assert rows[6].format == "unknown" and rows[6].error == "unknown format"
     assert rows[7].format == "png" and rows[7].error  # contained, not raised
-    assert all(r.error is None for r in [rows[1], rows[2], rows[3], rows[4]])
+    assert rows[8].format == "gif" and (rows[8].width, rows[8].height) == (12, 8)
+    assert rows[8].n_frames == 1
+    assert all(
+        r.error is None for r in [rows[1], rows[2], rows[3], rows[4], rows[8]]
+    )
 
 
 def test_image_ahash_drops_undecodable(spark, media_df):
     rows = {r.media_id: r.ahash for r in image_ahash(media_df).collect()}
-    assert set(rows) == {1, 2}
-    assert rows[1] == rows[2]  # same pixels via two codecs -> same hash
+    assert set(rows) == {1, 2, 8}
+    assert rows[1] == rows[2] == rows[8]  # same pixels, three codecs
     assert len(rows[1]) == 64
 
 
@@ -305,6 +368,7 @@ def test_native_metadata_matches_real_decode(spark, media_df):
     assert (md[3].sample_rate, md[3].channels, md[3].format) == (22050, 2, "wav")
     assert md[4].format == "y4m" and md[5].format == "jpeg"
     assert md[6].format == "unknown"
+    assert (md[8].width, md[8].height, md[8].format) == (12, 8, "gif")
 
 
 def test_sniff_format_native(spark, media_df):
@@ -317,4 +381,4 @@ def test_sniff_format_native(spark, media_df):
         ).collect()
     }
     assert got == {1: "png", 2: "bmp", 3: "wav", 4: "y4m", 5: "jpeg",
-                   6: "unknown", 7: "png"}
+                   6: "unknown", 7: "png", 8: "gif"}
