@@ -41,6 +41,26 @@ from pyspark.sql import DataFrame
 DEFAULT_BUCKETS = 64
 
 
+def bloom_options(
+    cols: Sequence[str], ndv_per_file: int = 1_000_000
+) -> dict:
+    """Parquet writer options enabling a split-block bloom filter on
+    each of `cols` (parquet-java's `parquet.bloom.filter.enabled#col`
+    per-column form). Bucketing handles equi-JOINS; bloom filters
+    handle the other id access pattern — POINT lookups ("show me doc
+    X", dedup spot-audits): a `key = literal` predicate skips every
+    row group whose filter proves absence, without any sort having
+    put the key in min/max-prunable order. `ndv_per_file` sizes the
+    bitset (~1.2 MB per row group at 1M NDV / 1% FPP) — at the
+    bucketed table's ~few-GB files that is noise next to the scan it
+    avoids."""
+    opts = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(ndv_per_file)
+    return opts
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -48,13 +68,19 @@ def write_bucketed(
     buckets: int = DEFAULT_BUCKETS,
     sort_by: Optional[Sequence[str]] = None,
     mode: str = "overwrite",
+    bloom_cols: Optional[Sequence[str]] = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Write `df` as a catalog table hash-bucketed (and sorted) by
     `key`. One full shuffle now; zero id-shuffles for every downstream
-    join/groupBy on `key` against any same-bucketed table."""
+    join/groupBy on `key` against any same-bucketed table.
+    `bloom_cols` additionally writes per-row-group bloom filters for
+    point-lookup row-group skipping (see `bloom_options`)."""
+    w = df.write.mode(mode)
+    if bloom_cols:
+        w = w.options(**bloom_options(bloom_cols, bloom_ndv))
     (
-        df.write.mode(mode)
-        .bucketBy(buckets, key)
+        w.bucketBy(buckets, key)
         .sortBy(*(sort_by or [key]))
         .saveAsTable(table)
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import is_path_ref, read_table
+from .bucketize import bloom_options
 
 #: parquet target: big enough that footer/stripe overhead is noise and
 #: a scan task does real work, small enough to split across executors
@@ -75,6 +76,8 @@ def compact_table(
     sort_within: Optional[Sequence[str]] = None,
     n_files: Optional[int] = None,
     partition_by: Optional[Sequence[str]] = None,
+    bloom_cols: Optional[Sequence[str]] = None,
+    bloom_ndv: int = 1_000_000,
 ) -> dict:
     """Rewrite `ref` (path or catalog identifier) into ~target-size
     files; returns {"files_before", "files_after", "bytes", "n_files"}.
@@ -96,6 +99,11 @@ def compact_table(
     would need an extra salt column (split files within the value);
     out of scope here — Iceberg's rewrite_data_files handles that case
     with its own bin-packing.
+
+    `bloom_cols` writes per-row-group parquet bloom filters on those
+    columns during the rewrite (see `bucketize.bloom_options`) —
+    compaction is the natural moment to add them, since it already
+    rewrites every byte.
     """
     df = read_table(spark, ref)
     if is_path_ref(ref):
@@ -124,9 +132,10 @@ def compact_table(
     elif sort_within:
         out = out.sortWithinPartitions(*sort_within)
 
+    bopts = bloom_options(bloom_cols, bloom_ndv) if bloom_cols else {}
     if is_path_ref(ref):
         tmp, bak = ref + ".compact-tmp", ref + ".compact-bak"
-        writer = out.write.mode("overwrite")
+        writer = out.write.mode("overwrite").options(**bopts)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
@@ -149,7 +158,7 @@ def compact_table(
         # crash in tests/test_compact.py).
         staging = f"{ref}__compact_staging"
         try:
-            w2 = out.writeTo(ref)
+            w2 = out.writeTo(ref).options(**bopts)
             if partition_by:
                 w2 = w2.partitionedBy(*[F.col(c) for c in partition_by])
             w2.createOrReplace()
@@ -157,7 +166,7 @@ def compact_table(
             if "REPLACE TABLE" not in str(e):
                 raise
             spark.sql(f"DROP TABLE IF EXISTS {staging}")
-            writer = out.write
+            writer = out.write.options(**bopts)
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.saveAsTable(staging)
