@@ -61,6 +61,7 @@ from pdf_parser_spark.operators import snapshots as snaps
 from pdf_parser_spark.operators import spans as sp
 from pdf_parser_spark.operators import terms as tm
 from pdf_parser_spark.operators import urls as ur
+from pdf_parser_spark.operators import winnow as wn
 
 # --------------------------------------------------------------- loaders
 
@@ -2066,6 +2067,20 @@ def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.dup_span_stats(_docs(spark, sf_dir), n=8)
 
 
+def _q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint selection (Schleimer SIGMOD 2003) — the
+    sampled sibling of the positional-hash tier; map-only
+    (operators/winnow.py)."""
+    return wn.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowed fingerprints, hot
+    (boilerplate) fingerprints dropped count-first before the
+    self-join."""
+    return wn.winnow_pairs(wn.winnow_fingerprints(_docs(spark, sf_dir)))
+
+
 #: benchmark set for the contamination queries: a deterministic 5%
 #: hash-sample of the corpus standing in for an eval set — the SAME
 #: predicate runs on both engines.
@@ -2893,6 +2908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "dup_spans": _q_dup_spans,
         # --------------- gate window ends here (50 entries) -----------
+        # --- round-4 session-8 additions ---
+        "winnow_fp": _q_winnow_fp,
+        "winnow_pairs": _q_winnow_pairs,
         # --- round-4 near-variants of gated operators ---
         "dsir_topn": _q_dsir_topn,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -3782,6 +3800,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_spans": sp.dup_spans_sql("documents", n=8),
         "dup_span_stats": sp.dup_span_stats_sql("documents", n=8),
+        "winnow_fp": wn.winnow_fingerprints_sql("documents"),
+        "winnow_pairs": wn.winnow_pairs_sql(
+            wn.winnow_fingerprints_sql("documents")
+        ),
         "contamination": sp.contamination_sql(
             "documents", _bench_pred_sql(), n=8
         ),
