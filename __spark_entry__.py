@@ -2709,6 +2709,112 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(_synth_edges(spark, sf_dir), iters=3)
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), 3 sequential-update
+    rounds with L1 normalization; twin unrolls rounds as CTEs
+    (operators/graph.py)."""
+    return gr.hits(_synth_edges(spark, sf_dir), iters=3)
+
+
+#: sitemap fixture body — ONE SQL expression over `hid`, evaluated
+#: verbatim by BOTH engines (F.expr on Spark, inline in the twin), so
+#: the constructed XML is byte-identical and only the PARSERS differ.
+#: hid%3 rotates: urlset (entity-escaped loc, optional fields, an
+#: empty loc, whitespace loc) / sitemapindex / not-XML.
+_SITEMAP_XML_EXPR = (
+    "CASE WHEN hid % 3 = 0 THEN"
+    " '<?xml version=\"1.0\"?><urlset>'"
+    " || '<url><loc>https://s' || hid ||"
+    " '.example.com/a?x=1&amp;y=2</loc><lastmod>2024-01-0' ||"
+    " (hid % 9 + 1) || '</lastmod><changefreq>daily</changefreq>"
+    "<priority>0.' || (hid % 10) || '</priority></url>'"
+    " || '<url><loc> https://s' || hid ||"
+    " '.example.com/plain </loc></url>'"
+    " || '<url><loc></loc></url></urlset>'"
+    " WHEN hid % 3 = 1 THEN"
+    " '<sitemapindex><sitemap><loc>https://s' || hid ||"
+    " '.example.com/maps/sitemap1.xml</loc>"
+    "<lastmod>2024-02-01</lastmod></sitemap>'"
+    " || '<sitemap><loc>https://s' || hid ||"
+    " '.example.com/maps/sitemap2.xml</loc></sitemap></sitemapindex>'"
+    " ELSE 'not xml at all' END"
+)
+
+_SITEMAP_SRC_SQL = f"""(
+  SELECT 's' || hid || '.example.com' AS host, {_SITEMAP_XML_EXPR} AS xml
+  FROM (SELECT DISTINCT doc_id % 40 AS hid FROM documents)
+) AS smsrc"""
+
+
+def _parse_sitemaps_sql_import() -> str:
+    from pdf_parser_spark.sources.sitemaps import parse_sitemaps_sql
+
+    return parse_sitemaps_sql(_SITEMAP_SRC_SQL)
+
+
+def _sitemap_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 40).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("s"), F.col("hid"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            F.expr(_SITEMAP_XML_EXPR).alias("xml"),
+        )
+    )
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml parse → frontier candidates (sources/sitemaps.py):
+    native split-per-entry + regexp fields + entity unescape; urlset
+    entries with non-empty locs."""
+    from pdf_parser_spark.sources.sitemaps import parse_sitemaps, sitemap_urls
+
+    return sitemap_urls(parse_sitemaps(_sitemap_fixture(spark, sf_dir)))
+
+
+def _q_sitemap_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemapindex expansion — the next discovery round's fetch plan
+    (sources/sitemaps.py)."""
+    from pdf_parser_spark.sources.sitemaps import (
+        parse_sitemaps,
+        sitemap_children,
+    )
+
+    return sitemap_children(parse_sitemaps(_sitemap_fixture(spark, sf_dir)))
+
+
+#: spider-trap fixture: one expression pair over doc_id, evaluated
+#: verbatim by both engines. doc_id%4==0 rows mint a calendar/session
+#: trap (urls explode, contents cycle through 3); the rest are
+#: ordinary per-host article pages (1:1 url:content).
+_TRAP_URL_EXPR = (
+    "CASE WHEN doc_id % 4 = 0 THEN"
+    " 'https://trap.example.com/cal/' || (doc_id % 400) || '/' ||"
+    " (doc_id % 13) || '?session=' || doc_id"
+    " ELSE 'https://n' || (doc_id % 20) ||"
+    " '.example.com/article?id=' || (doc_id % 25) END"
+)
+_TRAP_FP_EXPR = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'dup' || (doc_id % 3)"
+    " ELSE 'uniq' || (doc_id % 20) || '-' || (doc_id % 25) END"
+)
+
+
+def _q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection (operators/urls.py): URL-pattern
+    grouping (host + digit-folded path template + sorted param
+    names) vs distinct content fingerprints — the frontier's
+    crawl-trap exclusion feed."""
+    fix = _docs(spark, sf_dir).select(
+        F.expr(_TRAP_URL_EXPR).alias("url"),
+        F.expr(_TRAP_FP_EXPR).alias("fp"),
+    )
+    return ur.url_trap_stats(fix)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sample without replacement (A-ES, Efraimidis &
     Spirakis 2006; operators/sampling.py): deterministic md5 draws,
@@ -2911,6 +3017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 session-8 additions ---
         "winnow_fp": _q_winnow_fp,
         "winnow_pairs": _q_winnow_pairs,
+        "hits": _q_hits,
+        "sitemap_urls": _q_sitemap_urls,
+        "sitemap_children": _q_sitemap_children,
+        "url_traps": _q_url_traps,
         # --- round-4 near-variants of gated operators ---
         "dsir_topn": _q_dsir_topn,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -3803,6 +3913,21 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": wn.winnow_fingerprints_sql("documents"),
         "winnow_pairs": wn.winnow_pairs_sql(
             wn.winnow_fingerprints_sql("documents")
+        ),
+        "hits": gr.hits_sql(_edges_fixture_sql(), iters=3),
+        "sitemap_urls": (
+            "SELECT host, loc AS url, lastmod, changefreq, priority"
+            f" FROM ({_parse_sitemaps_sql_import()}) p"
+            " WHERE kind = 'urlset' AND loc <> ''"
+        ),
+        "sitemap_children": (
+            "SELECT host, loc AS sitemap_url, lastmod"
+            f" FROM ({_parse_sitemaps_sql_import()}) p"
+            " WHERE kind = 'index' AND loc <> ''"
+        ),
+        "url_traps": ur.url_trap_stats_sql(
+            f"(SELECT {_TRAP_URL_EXPR} AS url, {_TRAP_FP_EXPR} AS fp"
+            " FROM documents) tsrc"
         ),
         "contamination": sp.contamination_sql(
             "documents", _bench_pred_sql(), n=8

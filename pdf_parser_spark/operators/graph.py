@@ -318,6 +318,126 @@ def pagerank_sql(edges_sql: str, iters: int = 3,
     return f"{parts_sql}\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
 
 
+def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 3, dedup: bool = True) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge table → (id, auth, hub) — the link-analysis complement to
+    :func:`pagerank`: PageRank scores global endorsement flow, HITS
+    separates pages that ARE good sources (authorities) from pages
+    that POINT at good sources (hubs) — directory/listing pages,
+    which a crawl seed-selection step wants ranked on their own axis.
+
+    Per round: auth = L1-normalized sum of in-neighbor hub scores,
+    then hub = L1-normalized sum of out-neighbor AUTH scores (the
+    sequential update of the original paper). L1 normalization
+    (divide by the score sum, an in-plan 1-row broadcast) keeps the
+    arithmetic engine-portable — an L2 norm's sqrt would put libm
+    noise above the 6-dp output grain. Fixed ``iters`` → the DuckDB
+    twin (:func:`hits_sql`) unrolls rounds as CTEs, the pagerank /
+    Lloyd idiom. Same scale shape as pagerank: edges persisted, two
+    key shuffles per round, scores-frame joins only; compose with a
+    src/dst-bucketed edge table to remove the per-round edge
+    Exchange exactly as :func:`pagerank_bucketed` does.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if dedup:
+        e = e.distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    scores = nodes.select(
+        "id", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
+    ).localCheckpoint()
+    for _ in range(iters):
+        a_raw = (
+            e.join(
+                scores.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a = nodes.join(
+            a_raw.withColumnRenamed("dst", "id"), "id", "left"
+        ).select("id", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw"))
+        a_norm = a.agg(F.sum("a_raw").alias("s"))  # 1 row
+        a = a.crossJoin(F.broadcast(a_norm)).select(
+            "id", (F.col("a_raw") / F.col("s")).alias("auth")
+        )
+        h_raw = (
+            e.join(a.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h = nodes.join(
+            h_raw.withColumnRenamed("src", "id"), "id", "left"
+        ).select("id", F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw"))
+        h_norm = h.agg(F.sum("h_raw").alias("s"))  # 1 row
+        h = h.crossJoin(F.broadcast(h_norm)).select(
+            "id", (F.col("h_raw") / F.col("s")).alias("hub")
+        )
+        scores = a.join(h, "id").localCheckpoint()
+    out = scores.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`hits`: rounds unrolled as CTEs;
+    ``edges_sql`` produces (src, dst). Every per-round CTE is
+    AS MATERIALIZED — each is referenced 2-3 times by the next
+    level, so DuckDB's default inlining re-expands the whole chain
+    exponentially in `iters` (the curate-oracle lesson; unmaterialized
+    this twin ran minutes, materialized it runs milliseconds)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "s0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS auth,"
+        " CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f"ar{i} AS MATERIALIZED"
+            f" (SELECT nodes.id, coalesce(x.a_raw, 0.0) AS a_raw"
+            f" FROM nodes LEFT JOIN (SELECT e.dst AS id, sum(s.hub) AS a_raw"
+            f" FROM e JOIN {p} s ON e.src = s.id GROUP BY e.dst) x"
+            f" ON nodes.id = x.id)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED"
+            f" (SELECT id, a_raw / (SELECT sum(a_raw) FROM ar{i})"
+            f" AS auth FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED"
+            f" (SELECT nodes.id, coalesce(x.h_raw, 0.0) AS h_raw"
+            f" FROM nodes LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS h_raw"
+            f" FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src) x"
+            f" ON nodes.id = x.id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a.id, a.auth,"
+            f" h.h_raw / (SELECT sum(h_raw) FROM hr{i}) AS hub"
+            f" FROM a{i} a JOIN hr{i} h ON a.id = h.id)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\nSELECT id, round(auth, 6) AS auth,"
+        f" round(hub, 6) AS hub FROM s{iters}"
+    )
+
+
 def anchor_topk(links: DataFrame, k: int = 3,
                 dst_col: str = "dst") -> DataFrame:
     """Per-target top-k anchor texts by frequency → (dst, anchor,

@@ -271,3 +271,119 @@ def filter_blocked_domains(
             domain_col, "left_anti",
         )
     return tagged.where(~F.col(domain_col).isin(list(blocked)))
+
+
+# ------------------------------------------------------- spider traps
+
+
+def url_trap_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Per-URL-pattern crawl-trap statistics: (host, path_tpl,
+    param_sig, n_urls, n_contents, trap_ratio).
+
+    Spider traps — calendars, session ids, faceted-search grids —
+    generate unbounded URL spaces over a bounded content set, and a
+    frontier that can't see them wastes its politeness budget
+    re-fetching the same bytes. The detector groups URLs by PATTERN:
+    host + path template (digit runs folded to 'N', so /cal/2024/01
+    and /cal/2031/12 collide) + the sorted set of query-param NAMES
+    (values dropped — the trap varies values, not names). Per
+    pattern, distinct URLs vs distinct content fingerprints: a high
+    ratio means the pattern mints URLs without minting content.
+
+    Feature extraction is map-only native regexp; the aggregate is
+    ONE partial-combine shuffle on the pattern key. `fp_col` is any
+    content fingerprint (md5 text hash, the canonical-text hash, or
+    a simhash) already carried by the documents table — texts are
+    never read here. Both distinct counts are exact (patterns are
+    host-bounded; at 100 TB swap countDistinct for
+    approx_count_distinct the same way jobs/report.py documents).
+    `trap_ratio` is rounded to 6 dp for cross-engine stability.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), r"://([^/?#]*)", 1))
+    path = F.regexp_extract(F.col(url_col), r"://[^/?#]*([^?#]*)", 1)
+    path_tpl = F.regexp_replace(path, r"[0-9]+", "N")
+    q = F.when(
+        F.instr(F.col(url_col), "?") > 0,
+        F.substr(
+            F.regexp_replace(F.col(url_col), r"#.*$", ""),
+            F.instr(F.col(url_col), "?") + 1,
+        ),
+    ).otherwise(F.lit(""))
+    param_sig = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.split(q, "&"), lambda p: F.regexp_extract(p, "^([^=]*)", 1)
+                ),
+                lambda n: n != "",
+            )
+        ),
+    )
+    pat = df.select(
+        host.alias("host"),
+        path_tpl.alias("path_tpl"),
+        param_sig.alias("param_sig"),
+        F.col(url_col).alias("u"),
+        F.col(fp_col).alias("f"),
+    )
+    return pat.groupBy("host", "path_tpl", "param_sig").agg(
+        F.countDistinct("u").alias("n_urls"),
+        F.countDistinct("f").alias("n_contents"),
+        F.round(
+            F.countDistinct("u").cast("double")
+            / F.greatest(F.countDistinct("f"), F.lit(1)).cast("double"),
+            6,
+        ).alias("trap_ratio"),
+    )
+
+
+def url_trap_stats_sql(
+    src: str, url_col: str = "url", fp_col: str = "fp"
+) -> str:
+    """DuckDB twin of :func:`url_trap_stats` (same spec, DuckDB
+    regexp/list dialect)."""
+    u = url_col
+    q = (
+        f"CASE WHEN instr({u}, '?') > 0 THEN"
+        f" substr(regexp_replace({u}, '#.*$', ''), instr({u}, '?') + 1)"
+        f" ELSE '' END"
+    )
+    return f"""
+SELECT host, path_tpl, param_sig,
+       count(DISTINCT u) AS n_urls,
+       count(DISTINCT f) AS n_contents,
+       round(CAST(count(DISTINCT u) AS DOUBLE)
+             / CAST(greatest(count(DISTINCT f), 1) AS DOUBLE), 6)
+         AS trap_ratio
+FROM (
+  SELECT
+    lower(coalesce(regexp_extract({u}, '://([^/?#]*)', 1), '')) AS host,
+    regexp_replace(
+      coalesce(regexp_extract({u}, '://[^/?#]*([^?#]*)', 1), ''),
+      '[0-9]+', 'N', 'g') AS path_tpl,
+    coalesce(array_to_string(list_sort(list_filter(
+      list_transform(string_split({q}, '&'),
+                     p -> coalesce(regexp_extract(p, '^([^=]*)', 1), '')),
+      n -> n <> '')), '&'), '') AS param_sig,
+    {u} AS u, {fp_col} AS f
+  FROM {src}
+)
+GROUP BY host, path_tpl, param_sig
+"""
+
+
+def trap_patterns(
+    stats: DataFrame, min_urls: int = 100, min_ratio: float = 10.0
+) -> DataFrame:
+    """Flagged trap patterns from :func:`url_trap_stats` output —
+    the frontier exclusion feed (compose with
+    `jobs/frontier.py` / `filter_blocked_domains` the same way
+    blocklists do)."""
+    return stats.filter(
+        (F.col("n_urls") >= min_urls) & (F.col("trap_ratio") >= min_ratio)
+    )

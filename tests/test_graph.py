@@ -181,3 +181,39 @@ def test_connected_components_facade(spark):
     got = {r.node: r.component
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def _np_hits(edges, iters):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(edges):
+        A[idx[s], idx[d]] = 1.0
+    a = np.ones(len(nodes))
+    h = np.ones(len(nodes))
+    for _ in range(iters):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    return ({u: a[idx[u]] for u in nodes}, {u: h[idx[u]] for u in nodes})
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_hits_matches_numpy(spark, iters):
+    from pdf_parser_spark.operators.graph import hits
+
+    # h is a pure hub (points at everything, nothing points at it);
+    # c is a pure authority (everything points at it)
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "c"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: (r.auth, r.hub) for r in hits(df, iters=iters).collect()}
+    want_a, want_h = _np_hits(edges, iters)
+    assert set(got) == set(want_a)
+    for u in want_a:
+        assert abs(got[u][0] - want_a[u]) < 1e-6, u
+        assert abs(got[u][1] - want_h[u]) < 1e-6, u
+    # the structural ordering HITS exists to recover
+    assert got["c"][0] == max(v[0] for v in got.values())  # top authority
+    assert got["h"][1] == max(v[1] for v in got.values())  # top hub
+    assert got["h"][0] == 0.0  # nothing points at the pure hub

@@ -99,3 +99,55 @@ def test_surt_key(spark):
     got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
     # canonicalization folds trailing slashes, so a root path is empty
     assert got == ["uk,co,example,news)/a/b?b=2", "com,site,sub)"]
+
+
+def test_url_trap_stats_and_flagging(spark):
+    from pdf_parser_spark.operators.urls import trap_patterns, url_trap_stats
+
+    rows = (
+        # calendar trap: 40 urls, 2 contents
+        [(f"https://t.com/cal/{i}/{i % 5}?sid={i}", f"dup{i % 2}")
+         for i in range(40)]
+        # healthy article pattern: 10 urls, 10 contents
+        + [(f"https://ok.com/article?id={i}", f"u{i}") for i in range(10)]
+        # no-query path pattern
+        + [("https://ok.com/about", "a")]
+    )
+    df = spark.createDataFrame(rows, "url string, fp string")
+    stats = {
+        (r.host, r.path_tpl, r.param_sig): r for r in url_trap_stats(df).collect()
+    }
+    trap = stats[("t.com", "/cal/N/N", "sid")]
+    assert trap.n_urls == 40 and trap.n_contents == 2
+    assert trap.trap_ratio == 20.0
+    ok = stats[("ok.com", "/article", "id")]
+    assert ok.n_urls == 10 and ok.n_contents == 10 and ok.trap_ratio == 1.0
+    assert stats[("ok.com", "/about", "")].n_urls == 1
+
+    flagged = trap_patterns(url_trap_stats(df), min_urls=20, min_ratio=5.0)
+    assert [(r.host, r.path_tpl) for r in flagged.collect()] == [
+        ("t.com", "/cal/N/N")
+    ]
+
+
+def test_url_trap_stats_duckdb_parity(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.urls import (
+        url_trap_stats,
+        url_trap_stats_sql,
+    )
+
+    rows = [
+        (f"https://t.com/y/{i}?a={i}&b=1#frag", f"c{i % 3}") for i in range(9)
+    ] + [("https://p.com/plain", "x"), ("no-scheme-url", "y")]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = sorted(tuple(r) for r in url_trap_stats(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages(url VARCHAR, fp VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(url_trap_stats_sql("pages")).fetchall()
+    )
+    assert got == want and len(got) == 3
