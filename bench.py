@@ -141,6 +141,13 @@ def main() -> None:
         lambda: entry._q_contamination(spark, sf_dir)
         .agg(F.sum("n_hits")).collect(),
     )
+    # winnowing: the sampled overlap tier — map-only fingerprint
+    # selection, ~2/(w+1) the positional tier's shuffled volume
+    timed(
+        "winnow_fp",
+        lambda: entry._q_winnow_fp(spark, sf_dir)
+        .agg(F.count("*"), F.sum("fp")).collect(),
+    )
 
     # text analysis (one fused native pass)
     def q_textstats():
