@@ -592,6 +592,48 @@ def main() -> None:
     )
 
     add(
+        "Winnowing fingerprint selection",
+        entry._q_winnow_fp(spark, SF),
+        "MAP-ONLY: gram hashing and the per-window rightmost-min fold "
+        "are one native projection (no UDF, no Exchange before the "
+        "fingerprints themselves) — the sampled overlap tier ships "
+        "~2/(w+1) of the positional tier's row volume into any "
+        "downstream shuffle.",
+    )
+
+    add(
+        "HITS hubs & authorities",
+        entry._q_hits(spark, SF),
+        "Per round: two key-shuffle joins (edges x scores on src, "
+        "then on dst) + two bounded aggregates whose 1-row L1 norms "
+        "broadcast in-plan; edges persisted across rounds. As with "
+        "PageRank, localCheckpoint flattens lineage each round, so "
+        "the visible plan is the final checkpointed frame — by "
+        "design (the per-round shape is pagerank_round's, audited "
+        "above, with the same bucketed-edge composition available).",
+    )
+
+    add(
+        "Spider-trap pattern statistics",
+        entry._q_url_traps(spark, SF),
+        "Pattern features (host, digit-folded path template, sorted "
+        "param names) are map-only regexp; the only Exchange is the "
+        "partial-combine groupBy on the pattern key. Content "
+        "fingerprints ride an existing column — texts never read.",
+    )
+
+    add(
+        "sitemap.xml parse -> frontier candidates",
+        entry._q_sitemap_urls(spark, SF),
+        "Split-per-entry + regexp fields + entity unescape: one "
+        "generate/projection chain — the PARSER itself is map-only; "
+        "the Exchange in this plan is the oracle FIXTURE's distinct "
+        "over synthesized host ids, not the parse. Discovery sweeps "
+        "parse per (host x sitemap) file map-side and only the typed "
+        "candidate rows move.",
+    )
+
+    add(
         "Native media header telemetry",
         entry._q_media_metadata(spark, SF),
         "Format sniff + dimension/sample-rate extraction as ONE "
