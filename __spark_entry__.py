@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from pdf_parser_spark.functions import charset as _chs
+from pdf_parser_spark.operators import search as _search
 from pdf_parser_spark.functions import textstats as ts
 from pdf_parser_spark.functions.chunk import make_chunk_udf
 from pdf_parser_spark.functions.clean import CLEAN_SQL_TEMPLATE
@@ -2815,6 +2817,104 @@ def _q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ur.url_trap_stats(fix)
 
 
+#: charset fixture: raw-page BYTES built from ONE shared hex-CASE over
+#: doc_id (8 variants: plain utf-8, BOM'd utf-8, meta cp1252, meta
+#: latin1 label, utf-16le ascii, utf-16le non-ascii, invalid-utf-8
+#: no-meta, meta-utf-8-but-invalid) — each engine encodes the SAME
+#: text prefix with its own `encode`, so the payloads are identical
+#: bytes and the charset/decode logic under test is exercised on both
+#: sides independently.
+def _charset_hex_case(enc_pre: str, inter_pre: str) -> str:
+    ascii_hex = lambda s: s.encode().hex().upper()  # noqa: E731
+    m1252 = ascii_hex('<meta charset="windows-1252">')
+    mlat = ascii_hex("<META Charset=ISO-8859-1>caf")
+    mu8 = ascii_hex("<meta charset=utf-8>ok ")
+    return (
+        "CASE doc_id % 8"
+        f" WHEN 0 THEN {enc_pre}"
+        f" WHEN 1 THEN 'EFBBBF' || {enc_pre} || 'C3A9'"
+        f" WHEN 2 THEN '{m1252}' || '93' || {enc_pre} || '94'"
+        f" WHEN 3 THEN '{mlat}' || 'E9' || {enc_pre}"
+        f" WHEN 4 THEN 'FFFE' || {inter_pre}"
+        f" WHEN 5 THEN 'FFFE' || {inter_pre} || 'E900'"
+        f" WHEN 6 THEN {enc_pre} || 'E9'"
+        f" ELSE '{mu8}' || 'E9' || {enc_pre} END"
+    )
+
+
+_CHS_PRE_SPARK = "hex(encode(substr(text, 1, 40), 'UTF-8'))"
+_CHARSET_HEX_SPARK = _charset_hex_case(
+    _CHS_PRE_SPARK,
+    # utf-16le of the ascii prefix — native codec on the Spark side,
+    # identical bytes to DuckDB's 00-interleave regexp below
+    "hex(encode(substr(text, 1, 40), 'UTF-16LE'))",
+)
+_CHS_PRE_DUCK = "hex(encode(substr(text, 1, 40)))"
+_CHARSET_HEX_DUCK = _charset_hex_case(
+    _CHS_PRE_DUCK,
+    f"regexp_replace({_CHS_PRE_DUCK}, '(..)', '\\100', 'g')",
+)
+_CHARSET_SRC_SQL = (
+    f"SELECT doc_id, unhex({_CHARSET_HEX_DUCK}) AS html FROM documents"
+)
+
+
+def _charset_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.unhex(F.expr(_CHARSET_HEX_SPARK)).alias("html")
+    )
+
+
+def _q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-style charset sniff over raw page bytes
+    (functions/charset.py): BOM > verified meta > utf-8 validity >
+    windows-1252, one codegen projection in hex space."""
+    from pdf_parser_spark.functions import charset as chs
+
+    return chs.decode_pages(
+        _charset_fixture(spark, sf_dir), "html", "doc_id"
+    ).select("doc_id", "charset", "bom", "meta_label", "n_bytes")
+
+
+def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware page decode (functions/charset.py): native
+    utf-8/utf-16-ascii decode + cp1252 translate — the byte→text
+    front door of the extraction tier."""
+    from pdf_parser_spark.functions import charset as chs
+
+    return chs.decode_pages(
+        _charset_fixture(spark, sf_dir), "html", "doc_id"
+    ).select(
+        "doc_id", "charset", "text", F.length("text").alias("n_chars")
+    )
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual resampling (XLM alpha=0.5,
+    Lample & Conneau 2019; operators/sampling.py): head languages
+    flattened toward p^alpha, thresholds from the normalization-free
+    rate form so both engines keep bit-identical rows."""
+    from pdf_parser_spark.operators import sampling as sp
+
+    return sp.temperature_mix(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_TRGM_NEEDLE = "fast table"
+
+
+def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram substring search (operators/search.py, the Google
+    Code Search / pg_trgm shape): gram-IN candidate scan +
+    count-match AND-intersection + contains verify on candidates
+    only; the twin is the naive full-scan filter the indexed plan is
+    provably equal to."""
+    from pdf_parser_spark.operators import search as se
+
+    return se.substring_search(_docs(spark, sf_dir), _TRGM_NEEDLE)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sample without replacement (A-ES, Efraimidis &
     Spirakis 2006; operators/sampling.py): deterministic md5 draws,
@@ -2958,7 +3058,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     robots_rules, bpe_merges, pq_topk, winnow_pairs,
     sitemap_children) yield their slots to distinct operators,
     including the session-8 four (winnow_fp, hits, sitemap_urls,
-    url_traps) — then the seven queries the round-3 verdict names as
+    url_traps) and the session-9 four (charset_sniff, html_decode,
+    trigram_search, temperature_mix — gopher_repetition,
+    bm25_indexed, ahash_neardup, and rrf_hybrid yield their slots:
+    the first composes the separately-gated repetition machinery,
+    the second is bit-equal to the gated bm25_topk by construction,
+    the third composes the gated ahash_images with the
+    r3-driver-gated banded-hamming machinery, the fourth fuses the
+    gated bm25_topk/cosine_topk rankers with trivial
+    arithmetic) — then the seven queries the round-3 verdict names as
     the r04 done criterion (curate_fates, url_canonicalize,
     warc_roundtrip, cdx_latest, bm25_topk, pagerank, dup_spans)
     close the window; the tail is the multiply-verified remainder.
@@ -2971,19 +3079,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": _q_click_attribution,
         "media_metadata": _q_media_metadata,
         "ahash_images": _q_ahash_images,
-        "ahash_neardup": _q_ahash_neardup,
+        "trigram_search": _q_trigram_search,
         "audio_features": _q_audio_features,
         "curate_incremental": _q_curate_incremental,
         "token_budget_sample": _q_token_budget_sample,
         "gopher_gate": _q_gopher_gate,
-        "gopher_repetition": _q_gopher_repetition,
+        "charset_sniff": _q_charset_sniff,
+        "html_decode": _q_html_decode,
         "c4_clean": _q_c4_clean,
         "dedup_lines": _q_dedup_lines,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "quality_classifier": _q_quality_classifier,
-        "bm25_indexed": _q_bm25_indexed,
         "bloom_dedup": _q_bloom_dedup,
         "normalize_text": _q_normalize_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -3000,7 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": _q_hll_words,
         "len_quantiles": _q_len_quantiles,
         "graph_components": _q_graph_components,
-        "rrf_hybrid": _q_rrf_hybrid,
+        "temperature_mix": _q_temperature_mix,
         "weighted_sample": _q_weighted_sample,
         "ivfpq_topk": _q_ivfpq_topk,
         "pack_concat": _q_pack_concat,
@@ -3020,7 +3128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --------------- gate window ends here (50 entries) -----------
         # --- round-4 near-variants / compositions of gated operators ---
         "winnow_pairs": _q_winnow_pairs,
+        "gopher_repetition": _q_gopher_repetition,
+        "bm25_indexed": _q_bm25_indexed,
         "sitemap_children": _q_sitemap_children,
+        "ahash_neardup": _q_ahash_neardup,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -3028,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topn": _q_dsir_topn,
         "ccnet_buckets": _q_ccnet_buckets,
         "pareto_select": _q_pareto_select,
+        "rrf_hybrid": _q_rrf_hybrid,
         "snapshot_stats": _q_snapshot_stats,
         # --- round-3 tier remainder (judge-verified green, r3) ---
         "extract_links": _q_extract_links,
@@ -3884,6 +3996,22 @@ def oracle_sql() -> dict[str, str]:
             f"WITH inj AS MATERIALIZED (SELECT doc_id, "
             f"{_rep_inj_sql()} AS text FROM documents) "
             f"SELECT * FROM ({ts.repetition_signals_sql('inj')})"
+        ),
+        "charset_sniff": (
+            "SELECT doc_id, charset, bom, meta_label, n_bytes FROM ("
+            + _chs.decode_pages_sql(_CHARSET_SRC_SQL, "html", "doc_id")
+            + ") d"
+        ),
+        "html_decode": (
+            "SELECT doc_id, charset, text, length(text) AS n_chars FROM ("
+            + _chs.decode_pages_sql(_CHARSET_SRC_SQL, "html", "doc_id")
+            + ") d"
+        ),
+        "trigram_search": _search.substring_search_sql(
+            "documents", _TRGM_NEEDLE
+        ),
+        "temperature_mix": smp.temperature_mix_sql(
+            "documents", columns="d.doc_id, d.lang, d.source"
         ),
         "c4_clean": (
             lambda g: f"WITH inj AS MATERIALIZED (SELECT doc_id, "

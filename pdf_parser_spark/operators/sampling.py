@@ -594,6 +594,122 @@ SELECT {cols} FROM (
 """
 
 
+# ------------------------------------------------ temperature balancing
+
+def _tweight(c: float, alpha: float) -> float:
+    """count^alpha with correctly-rounded special cases — sqrt (the
+    XLM alpha=0.5) and the trivial 1/2 exponents are bit-identical
+    across engines; general pow is libm-dependent (documented in
+    :func:`temperature_mix_sql`)."""
+    import math
+
+    if alpha == 0.5:
+        return math.sqrt(c)
+    if alpha == 1.0:
+        return float(c)
+    if alpha == 2.0:
+        return float(c) * float(c)
+    return float(c) ** alpha
+
+
+def _tweight_sql(c: str, alpha: float) -> str:
+    if alpha == 0.5:
+        return f"sqrt({c})"
+    if alpha == 1.0:
+        return c
+    if alpha == 2.0:
+        return f"({c} * {c})"
+    return f"pow({c}, CAST({alpha!r} AS DOUBLE))"
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    keys_broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """Temperature-balanced multilingual resampling (Lample & Conneau
+    2019 arXiv:1901.07291 §3.1; XLM-R arXiv:1911.02116; mT5's
+    alpha=0.3): keep the largest corpus whose per-language
+    proportions follow p_l^alpha — flattening the head languages so
+    low-resource ones are not drowned, without the explicit target
+    weights :func:`mix_corpus` requires.
+
+    Same execution shape as `mix_corpus`: one pruned counts pass
+    (driver-collected, bounded), then a broadcast-threshold map-side
+    filter — no shuffle of kept rows, stable across reruns and
+    cluster sizes.
+
+    Engine-parity note: rate_s = w_s * min_u(c_u / w_u) / c_s — the
+    normalizing sum of the textbook q_l = p_l^a / sum p^a CANCELS,
+    which matters here: a float SUM is accumulation-order-dependent
+    and could not be replayed bit-exactly by the twin, while sqrt /
+    divide / min / multiply / floor all are.
+    """
+    import math
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    cnt_rows = (
+        df.groupBy(key_col).agg(F.count("*").alias("_cnt"))
+        .limit(keys_broadcast_limit + 1).collect()
+    )
+    if len(cnt_rows) > keys_broadcast_limit:
+        raise ValueError(
+            f"temperature_mix: > {keys_broadcast_limit} strata; "
+            "aggregate to a coarser key before mixing"
+        )
+    counts = {r[key_col]: r["_cnt"] for r in cnt_rows}
+    wr = {s: _tweight(c, alpha) for s, c in counts.items()}
+    t_prime = min(counts[s] / wr[s] for s in wr)
+    thresholds = {
+        s: int(math.floor(wr[s] * t_prime / counts[s] * HASH_SPACE))
+        for s in wr
+    }
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(k, t) for k, t in thresholds.items()], [key_col, "_thr"]
+    )
+    return (
+        df.join(F.broadcast(thr_df), key_col)
+        .where(hash_draw(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    alpha: float = 0.5,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix`: recomputes the SAME
+    thresholds from in-SQL counts with the SAME left-associative
+    double expression — bit-exact for alpha in {0.5, 1, 2} (sqrt and
+    products are correctly rounded everywhere); general alpha rides
+    libm pow and may differ in the last ulp at a floor boundary."""
+    w = _tweight_sql("c", alpha)
+    return f"""
+WITH cnt AS (
+  SELECT {key_col} AS k, CAST(count(*) AS DOUBLE) AS c
+  FROM {table} GROUP BY {key_col}
+),
+wr AS (SELECT k, c, {w} AS w FROM cnt),
+tt AS (SELECT MIN(c / w) AS t FROM wr),
+thr AS (
+  SELECT k, CAST(floor(w * (SELECT t FROM tt) / c * {HASH_SPACE}.0)
+              AS BIGINT) AS thr
+  FROM wr
+)
+SELECT {columns} FROM {table} d JOIN thr ON d.{key_col} = thr.k
+WHERE {hash_draw_sql("d." + id_col, salt)} < thr.thr
+"""
+
+
 # ----------------------------------------------------- weighted sampling
 
 def weighted_sample(

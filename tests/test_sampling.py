@@ -319,3 +319,73 @@ def test_weighted_sample_twin(spark):
         30, "wlen",
     )).fetchall())
     assert got == want and len(got) == 30
+
+
+# ----------------------------------------------------- temperature mix
+
+def test_temperature_mix_flattens_head(spark):
+    from pdf_parser_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = {r.lang: r.c for r in
+              docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    kept = temperature_mix(docs, alpha=0.5)
+    after = {r.lang: r.c for r in
+             kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # proportions follow sqrt(count): the head language's share shrinks
+    import math
+    tot_b, tot_a = sum(before.values()), sum(after.values())
+    head = max(before, key=before.get)
+    assert after[head] / tot_a < before[head] / tot_b
+    # every language keeps roughly its sqrt-proportional target
+    wr = {s: math.sqrt(c) for s, c in before.items()}
+    t = min(before[s] / wr[s] for s in wr)
+    for s, c in before.items():
+        target = wr[s] * t
+        assert abs(after[s] - target) <= max(6, 0.12 * target)
+    # the binding (smallest-rate... largest-keep) stratum keeps ~all
+    binding = min(before, key=lambda s: before[s] / wr[s])
+    assert after[binding] >= 0.95 * before[binding]
+
+
+def test_temperature_mix_alpha1_keeps_everything(spark):
+    from pdf_parser_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # alpha=1 → target proportions == current proportions → rate 1
+    assert temperature_mix(docs, alpha=1.0).count() == docs.count()
+
+
+def test_temperature_mix_deterministic_and_bad_alpha(spark):
+    import pytest
+
+    from pdf_parser_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id for r in temperature_mix(docs).select("doc_id").collect()}
+    b = {r.doc_id for r in temperature_mix(docs).select("doc_id").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.0)
+
+
+def test_temperature_mix_twin(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.lang)
+        for r in temperature_mix(docs).select("doc_id", "lang").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(con.execute(temperature_mix_sql(
+        "documents", columns="d.doc_id, d.lang"
+    )).fetchall())
+    assert got == want and 0 < len(got) < docs.count()
