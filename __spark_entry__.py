@@ -2889,6 +2889,33 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOM_SRC_SQL = (
+    "concat('https://sub', CAST(doc_id % 3 AS STRING), '.d', "
+    "CAST(doc_id % 4 AS STRING), '.com/p', CAST(doc_id AS STRING))"
+)
+_DOM_DST_SQL = (
+    "CASE WHEN doc_id % 7 < 3 THEN"
+    " concat('https://d', CAST(doc_id % 5 AS STRING), '.org/x')"
+    " WHEN doc_id % 7 < 5 THEN"
+    " concat('https://h', CAST(doc_id % 2 AS STRING), '.co.uk/y')"
+    " ELSE concat('https://d', CAST((doc_id + 1) % 4 AS STRING), '.com/z')"
+    " END"
+)
+
+
+def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level weighted PageRank (operators/graph.py): page
+    edges rolled up to eTLD+1 endpoints with link-count weights
+    (the Common Crawl webgraph rollup), ranks split across
+    out-edges ∝ weight."""
+    e = _docs(spark, sf_dir).selectExpr(
+        f"{_DOM_SRC_SQL} AS src", f"{_DOM_DST_SQL} AS dst"
+    )
+    return gr.pagerank(
+        gr.domain_edges(e), weight_col="w", dedup=False, iters=3
+    )
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced multilingual resampling (XLM alpha=0.5,
     Lample & Conneau 2019; operators/sampling.py): head languages
@@ -3132,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": _q_bm25_indexed,
         "sitemap_children": _q_sitemap_children,
         "ahash_neardup": _q_ahash_neardup,
+        "domain_rank": _q_domain_rank,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -4012,6 +4040,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "temperature_mix": smp.temperature_mix_sql(
             "documents", columns="d.doc_id, d.lang, d.source"
+        ),
+        "domain_rank": gr.pagerank_sql(
+            gr.domain_edges_sql(
+                f"SELECT {_DOM_SRC_SQL} AS src, {_DOM_DST_SQL} AS dst"
+                " FROM documents"
+            ),
+            iters=3, weight_col="w",
         ),
         "c4_clean": (
             lambda g: f"WITH inj AS MATERIALIZED (SELECT doc_id, "

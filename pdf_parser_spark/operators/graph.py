@@ -174,19 +174,64 @@ def link_edges(links: DataFrame, src_col: str = "src",
     return e.where(F.col("src") != F.col("dst")).distinct()
 
 
+def domain_edges(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Page-level edge table → registered-domain (eTLD+1) edge rollup
+    (src, dst, w) with w = number of page links between the two
+    domains — the Common-Crawl host/domain-ranking graph (the
+    published CC webgraph is exactly this rollup; endpoints via
+    operators/urls.py's PSL-subset eTLD+1). Intra-domain links and
+    empty hosts drop; ONE partial-combine groupBy on narrow string
+    pairs — the page-level multiplicity never reaches the reducer
+    uncombined. Feed to :func:`pagerank` as
+    ``pagerank(de, weight_col="w", dedup=False)`` (domain-level
+    weighted PageRank) or to :func:`connected_components` for
+    mirror-cluster discovery."""
+    e = edges.select(
+        ur.registered_domain(F.col(src_col)).alias("src"),
+        ur.registered_domain(F.col(dst_col)).alias("dst"),
+    )
+    return (
+        e.where((F.col("src") != F.col("dst"))
+                & (F.col("src") != "") & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def domain_edges_sql(edges_sql: str, src_col: str = "src",
+                     dst_col: str = "dst") -> str:
+    """DuckDB twin of :func:`domain_edges`."""
+    rs = ur.registered_domain_sql(src_col)
+    rd = ur.registered_domain_sql(dst_col)
+    return (
+        f"SELECT src, dst, count(*) AS w FROM ("
+        f"SELECT {rs} AS src, {rd} AS dst FROM ({edges_sql})"
+        f") WHERE src <> dst AND src <> '' AND dst <> ''"
+        f" GROUP BY src, dst"
+    )
+
+
 def pagerank_round(e: DataFrame, deg: DataFrame, nodes: DataFrame,
                    n1: DataFrame, ranks: DataFrame,
-                   damping: float = 0.85) -> DataFrame:
+                   damping: float = 0.85,
+                   weight_col: str = None) -> DataFrame:
     """One PageRank iteration body (extracted so the plan of a round
     is inspectable — tests/test_graph_bucketed.py asserts the
     Exchange profile of this exact function over a bucketed edge
     table). Returns the next ranks frame, LAZY (the loop in
-    `pagerank` checkpoints it)."""
+    `pagerank` checkpoints it). With ``weight_col``, a node's rank
+    splits across out-edges proportionally to edge weight (``deg``
+    must then hold sum-of-weights in ``od``)."""
+    share = (
+        F.col("rank") * F.col(weight_col) / F.col("od")
+        if weight_col else F.col("rank") / F.col("od")
+    )
     contrib = (
         e.join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .groupBy("dst")
-        .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+        .agg(F.sum(share).alias("c"))
     )
     dangling = ranks.join(
         deg.select(F.col("src").alias("id")), "id", "left_anti"
@@ -210,7 +255,8 @@ def pagerank_round(e: DataFrame, deg: DataFrame, nodes: DataFrame,
 
 def pagerank(edges: DataFrame, src_col: str = "src",
              dst_col: str = "dst", iters: int = 3,
-             damping: float = 0.85, dedup: bool = True) -> DataFrame:
+             damping: float = 0.85, dedup: bool = True,
+             weight_col: str = None) -> DataFrame:
     """Damped PageRank over a directed edge table → (id, rank).
 
     Standard formulation: ranks start uniform 1/N; each round every
@@ -227,10 +273,18 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     table via :func:`pagerank_bucketed` — where the distinct's
     Exchange would also destroy the bucket layout's Exchange-free
     join property).
+
+    ``weight_col`` switches to weighted PageRank (a node's rank
+    splits across out-edges ∝ weight; out-"degree" = sum of weights)
+    — the multiplicity-carrying :func:`domain_edges` rollup is the
+    intended input, with ``dedup=False`` (the rollup already
+    aggregated; a distinct over (src, dst, w) would be a no-op
+    Exchange). The unweighted plan is untouched when None.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("double").alias(weight_col))
+    e = edges.select(*cols)
     if dedup:
         e = e.distinct()
     e = e.persist()
@@ -243,13 +297,16 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         .persist()
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("n"))  # 1 row
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    od_agg = (
+        F.sum(weight_col) if weight_col else F.count("*").cast("double")
+    )
+    deg = e.groupBy("src").agg(od_agg.alias("od"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "id", (F.lit(1.0) / F.col("n")).alias("rank")
     ).localCheckpoint()
     for _ in range(iters):
         ranks = pagerank_round(
-            e, deg, nodes, n1, ranks, damping
+            e, deg, nodes, n1, ranks, damping, weight_col
         ).localCheckpoint()  # flat lineage; one round materialized
     out = ranks.select("id", F.round("rank", 6).alias("rank"))
     e.unpersist()
@@ -279,27 +336,38 @@ def pagerank_bucketed(spark, edges_table: str, iters: int = 3,
 
 
 def pagerank_sql(edges_sql: str, iters: int = 3,
-                 damping: float = 0.85) -> str:
+                 damping: float = 0.85, weight_col: str = None) -> str:
     """DuckDB twin of :func:`pagerank`: the fixed iteration schedule
     unrolled as CTEs (the Lloyd-kmeans oracle pattern), one
     contrib/dangling/rank triple per round. ``edges_sql`` is a query
-    producing (src, dst)."""
+    producing (src, dst) — plus the weight column for the weighted
+    form (then no DISTINCT, mirroring ``dedup=False``)."""
     # CAST keeps every literal in DOUBLE space — DuckDB decimal
     # literals would otherwise produce DECIMAL arithmetic that drifts
     # from Spark's IEEE doubles at the hash grain.
     d = f"CAST({damping!r} AS DOUBLE)"
+    if weight_col:
+        e_cte = (
+            f"WITH e AS (SELECT src, dst,"
+            f" CAST({weight_col} AS DOUBLE) AS w FROM ({edges_sql}))"
+        )
+        od = "sum(w)"
+        share = "r.rank * e.w / d.od"
+    else:
+        e_cte = f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))"
+        od = "CAST(count(*) AS DOUBLE)"
+        share = "r.rank / d.od"
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        e_cte,
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od"
-        " FROM e GROUP BY src)",
+        f"deg AS (SELECT src, {od} AS od FROM e GROUP BY src)",
         "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
         parts.append(
-            f"c{i} AS (SELECT e.dst AS id, sum(r.rank / d.od) AS c FROM e"
+            f"c{i} AS (SELECT e.dst AS id, sum({share}) AS c FROM e"
             f" JOIN {p} r ON e.src = r.id JOIN deg d ON e.src = d.src"
             f" GROUP BY e.dst)"
         )

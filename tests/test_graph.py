@@ -217,3 +217,91 @@ def test_hits_matches_numpy(spark, iters):
     assert got["c"][0] == max(v[0] for v in got.values())  # top authority
     assert got["h"][1] == max(v[1] for v in got.values())  # top hub
     assert got["h"][0] == 0.0  # nothing points at the pure hub
+
+
+# ------------------------------------------------- domain-level rollup
+
+def _np_weighted_pagerank(wedges, iters, d=0.85):
+    nodes = sorted({x for e in wedges for x in e[:2]})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _, w in wedges:
+        out[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, t, w in wedges:
+            nxt[idx[t]] += r[idx[s]] * w / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (nxt + dangling / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_domain_edges_rollup(spark):
+    from pdf_parser_spark.operators.graph import domain_edges
+
+    rows = (
+        [(f"https://sub{i}.alpha.com/p{i}", "https://beta.co.uk/x")
+         for i in range(3)]
+        + [("https://alpha.com/a", "https://www.alpha.com/b")]  # intra
+        + [("https://beta.co.uk/y", "https://gamma.org/z")] * 2
+    )
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(tuple(r) for r in domain_edges(df).collect())
+    # subdomains fold to eTLD+1, intra-domain drops, multiplicity counts
+    assert got == [
+        ("alpha.com", "beta.co.uk", 3),
+        ("beta.co.uk", "gamma.org", 2),
+    ]
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    from pdf_parser_spark.operators.graph import pagerank
+
+    wedges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 5.0),
+              ("d", "a", 2.0), ("d", "b", 2.0)]
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    got = {r.id: r.rank
+           for r in pagerank(df, weight_col="w", dedup=False).collect()}
+    want = _np_weighted_pagerank(wedges, 3)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-6, u
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    # weight matters: a->b carries 3x a->c, so b outranks c's share
+    # from a alone; compare against the unweighted ranking to prove
+    # the weights changed the outcome
+    unw = {r.id: r.rank for r in pagerank(df.select("src", "dst")).collect()}
+    assert got != unw
+
+
+def test_domain_rank_twin(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.graph import (
+        domain_edges, domain_edges_sql, pagerank, pagerank_sql,
+    )
+
+    rows = []
+    for i in range(40):
+        s = f"https://s{i % 3}.d{i % 4}.com/p{i}"
+        t = [f"https://d{(i + 1) % 4}.com/x", f"https://h{i % 2}.co.uk/y",
+             f"https://d{i % 5}.org/z"][i % 3]
+        rows.append((s, t))
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        tuple(r)
+        for r in pagerank(
+            domain_edges(df), weight_col="w", dedup=False
+        ).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{t}')" for s, t in rows)
+    con.execute(
+        f"CREATE TABLE uedges AS SELECT * FROM (VALUES {vals}) t(src, dst)"
+    )
+    want = sorted(con.execute(pagerank_sql(
+        domain_edges_sql("SELECT * FROM uedges"), weight_col="w"
+    )).fetchall())
+    assert got == want and len(got) > 3
