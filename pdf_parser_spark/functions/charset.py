@@ -142,6 +142,75 @@ CHARSET_LABELS = {
 }
 
 
+# ------------------------------------------------- python worker mirror
+#
+# The extraction pipeline's HTML route (jobs/extract.py) runs inside a
+# mapInPandas worker, where real codecs are available. These mirrors
+# apply the SAME precedence as the column path, but at full fidelity
+# where the column path is oracle-portability-bounded: utf-16 decodes
+# completely (not just the ASCII subset), and a BOM'd-but-invalid
+# utf-8 stream decodes with U+FFFD replacement (the column path
+# returns NULL there — both documented; tests pin agreement on every
+# input where both are defined).
+
+import re as _re
+
+_META_BYTES_RE = _re.compile(
+    rb"<meta[ \t\n\f\r/][^>]*?charset[ \t\n\f\r]*=[ \t\n\f\r]*"
+    rb"[\"']?([A-Za-z0-9._\-]{1,40})",
+    _re.IGNORECASE,
+)
+
+
+def meta_charset_label_bytes(payload: bytes) -> str:
+    m = _META_BYTES_RE.search(payload[:1024])
+    return m.group(1).decode("ascii").lower() if m else ""
+
+
+def _utf8_valid(payload: bytes) -> bool:
+    try:
+        payload.decode("utf-8", errors="strict")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def sniff_bytes(payload: bytes) -> str:
+    """Python mirror of :func:`sniff_charset` (same verdicts on the
+    same bytes)."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16le"
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16be"
+    meta = CHARSET_LABELS.get(meta_charset_label_bytes(payload))
+    if meta == "utf-8":
+        return "utf-8" if _utf8_valid(payload) else "windows-1252"
+    if meta == "windows-1252":
+        return "windows-1252"
+    return "utf-8" if _utf8_valid(payload) else "windows-1252"
+
+
+def _sloppy_cp1252_bytes(payload: bytes) -> str:
+    # the mojibake module's sloppy-cp1252 convention: graphics for the
+    # 27 defined C1 bytes, C1 passthrough for the 5 undefined ones
+    return "".join(_CP1252_GRAPHICS.get(b, chr(b)) for b in payload)
+
+
+def decode_bytes(payload: bytes) -> str:
+    """Full-fidelity worker-side decode under :func:`sniff_bytes`."""
+    cs = sniff_bytes(payload)
+    if cs == "utf-8":
+        body = payload[3:] if payload.startswith(b"\xef\xbb\xbf") else payload
+        return body.decode("utf-8", errors="replace")
+    if cs == "utf-16le":
+        return payload[2:].decode("utf-16-le", errors="replace")
+    if cs == "utf-16be":
+        return payload[2:].decode("utf-16-be", errors="replace")
+    return _sloppy_cp1252_bytes(payload)
+
+
 # ------------------------------------------------------- spark columns
 
 
@@ -231,7 +300,14 @@ def decode_html(payload: Column, charset: Column = None) -> Column:
     le_ok = h16.rlike(UTF16LE_ASCII_HEX_RE)
     be_ok = h16.rlike(UTF16BE_ASCII_HEX_RE)
     return (
-        F.when(cs == "utf-8", F.decode(F.unhex(h8), "UTF-8"))
+        # the h8 validity guard covers the one verdict path that does
+        # not itself prove validity (a BOM'd stream with broken utf-8
+        # after it): NULL there, never a strict-decode runtime error;
+        # the worker mirror (`decode_bytes`) replaces instead.
+        F.when(
+            (cs == "utf-8") & h8.rlike(UTF8_VALID_HEX_RE),
+            F.decode(F.unhex(h8), "UTF-8"),
+        )
         .when(cs == "windows-1252", decode_cp1252(h))
         .when(
             (cs == "utf-16le") & le_ok,
@@ -380,7 +456,9 @@ def decode_html_sql(payload_expr: str) -> str:
     le = f"regexp_replace({h16}, '(..)00', '\\1', 'g')"
     be = f"regexp_replace({h16}, '00(..)', '\\1', 'g')"
     return (
-        f"CASE WHEN ({cs}) = 'utf-8' THEN decode(unhex({h8}))"
+        f"CASE WHEN ({cs}) = 'utf-8'"
+        f" AND regexp_matches({h8}, '{UTF8_VALID_HEX_RE}')"
+        f" THEN decode(unhex({h8}))"
         f" WHEN ({cs}) = 'windows-1252' THEN {decode_cp1252_sql(h)}"
         f" WHEN ({cs}) = 'utf-16le'"
         f" AND regexp_matches({h16}, '{UTF16LE_ASCII_HEX_RE}')"

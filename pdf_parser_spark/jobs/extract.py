@@ -105,12 +105,17 @@ def extract_one(payload: Optional[bytes], force_ocr: bool = False,
                 except Exception as e:
                     out["ocr_error"] = str(e)
         else:
+            from ..functions.charset import decode_bytes, sniff_bytes
             from ..html.boilerplate import extract_main_text
 
             out["kind"] = "html"
-            html = payload.decode("utf-8", errors="replace")
-            out["raw_text"] = extract_main_text(html)
-            out["metadata"] = {}
+            # charset-aware decode (functions/charset.py): BOM >
+            # verified meta prescan > utf-8 validity > windows-1252 —
+            # a blind utf-8 decode mangles the ~5-10% of crawl pages
+            # that ship cp1252/utf-16 bytes, and mojibake'd text
+            # hashes apart from its clean twin in every dedup family.
+            out["raw_text"] = extract_main_text(decode_bytes(payload))
+            out["metadata"] = {"charset": sniff_bytes(payload)}
     except Exception:
         out["error"] = traceback.format_exc(limit=3)
     return out

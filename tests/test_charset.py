@@ -129,3 +129,60 @@ def test_utf8_validator_rejects_overlongs_and_surrogates(spark):
         .collect()
     )
     assert [r["ok"] for r in got] == list(cases.values())
+
+
+def test_worker_mirror_agrees_with_column_path(spark):
+    """sniff_bytes/decode_bytes (the extraction worker's full-fidelity
+    mirror) must agree with the column path on every input where both
+    are defined; where they diverge by design (non-ASCII utf-16,
+    BOM'd-but-invalid utf-8) the column path is NULL and the mirror
+    still decodes."""
+    payloads = [
+        b"plain ascii",
+        b"\xef\xbb\xbfcaf\xc3\xa9",
+        b'<meta charset="windows-1252">\x93q\x94',
+        b"<META Charset=ISO-8859-1>caf\xe9",
+        b"valid caf\xc3\xa9",
+        b"invalid \xe9",
+        b"<meta charset=utf-8>bad \xe9",
+        b"\xff\xfe" + "hi".encode("utf-16le"),
+        b"\xfe\xff" + "hi".encode("utf-16be"),
+        b"\xff\xfe" + "caf\xe9".encode("utf-16le"),   # non-ascii utf-16
+        b"\xef\xbb\xbfbad \xe9",                      # BOM'd, invalid
+    ]
+    col = _decode_pages(spark, payloads)
+    for p, (charset, _bom, _meta, text) in zip(payloads, col):
+        assert cs.sniff_bytes(p) == charset, p
+        full = cs.decode_bytes(p)
+        if text is not None:
+            assert full == text, p
+        else:
+            assert isinstance(full, str) and full != "", p
+
+
+def test_extraction_html_route_is_charset_aware(spark):
+    from pdf_parser_spark.jobs.extract import extract_documents
+
+    prose = b"plenty of ordinary body prose keeps the block classifier happy. " * 3
+    pages = spark.createDataFrame(
+        [("u1", bytearray(
+            b"<html><meta charset=latin1><body><main><p>"
+            b"caf\xe9 costs \x8020 \x93really\x94 " + prose + b"</p>"
+            b"</main></body></html>")),
+         ("u2", bytearray(
+            b"\xff\xfe" + ("<html><body><main><p>wide page text here "
+            + prose.decode() + "</p></main></body></html>"
+            ).encode("utf-16le")))],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in extract_documents(pages).collect()}
+    # the reference's T2 clean strips non-ASCII (pinned quirk), so the
+    # cp1252 chars land in raw_text and leave clean ASCII behind; the
+    # sniffed charset is recorded as telemetry
+    assert rows["u1"].text.startswith("caf costs 20 really plenty")
+    assert rows["u1"].metadata["charset"] == "windows-1252"
+    # a blind utf-8 decode of utf-16le bytes yields NUL-riddled
+    # pseudo-markup and NO extractable text — this line existing at
+    # all proves the charset-aware path ran
+    assert "wide page text here" in rows["u2"].text
+    assert rows["u2"].metadata["charset"] == "utf-16le"
