@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from pdf_parser_spark.functions import charset as _chs
+from pdf_parser_spark.operators import allpairs as _ap
 from pdf_parser_spark.operators import search as _search
 from pdf_parser_spark.functions import textstats as ts
 from pdf_parser_spark.functions.chunk import make_chunk_udf
@@ -2889,6 +2890,20 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs tf-idf cosine ≥ t via Bayardo prefix filtering
+    (WWW'07; operators/allpairs.py) — the exact-threshold lexical
+    counterpart of the probabilistic minhash/simhash tiers; provably
+    equal to the naive threshold join the twin runs. max_df_frac=0.95
+    because this corpus's vocabulary is Zipf-flat by construction
+    (every word sits above df 0.5N)."""
+    from pdf_parser_spark.operators import allpairs as ap
+
+    return ap.allpairs_cosine(
+        _docs(spark, sf_dir), 0.82, max_df_frac=0.95
+    )
+
+
 _DOM_SRC_SQL = (
     "concat('https://sub', CAST(doc_id % 3 AS STRING), '.d', "
     "CAST(doc_id % 4 AS STRING), '.com/p', CAST(doc_id AS STRING))"
@@ -3085,15 +3100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     robots_rules, bpe_merges, pq_topk, winnow_pairs,
     sitemap_children) yield their slots to distinct operators,
     including the session-8 four (winnow_fp, hits, sitemap_urls,
-    url_traps) and the session-9 four (charset_sniff, html_decode,
-    trigram_search, temperature_mix — gopher_repetition,
-    bm25_indexed, ahash_neardup, and rrf_hybrid yield their slots:
-    the first composes the separately-gated repetition machinery,
-    the second is bit-equal to the gated bm25_topk by construction,
-    the third composes the gated ahash_images with the
-    r3-driver-gated banded-hamming machinery, the fourth fuses the
-    gated bm25_topk/cosine_topk rankers with trivial
-    arithmetic) — then the seven queries the round-3 verdict names as
+    url_traps) and the session-9 five (charset_sniff, html_decode,
+    trigram_search, temperature_mix, allpairs_cosine —
+    gopher_repetition, bm25_indexed, ahash_neardup, rrf_hybrid, and
+    dedup_lines yield their slots: the first composes the
+    separately-gated repetition machinery, the second is bit-equal
+    to the gated bm25_topk by construction, the third composes the
+    gated ahash_images with the r3-driver-gated banded-hamming
+    machinery, the fourth fuses the gated bm25_topk/cosine_topk
+    rankers with trivial arithmetic, the fifth explodes lines into
+    the r1-gated exact-dedup machinery) — then the seven queries
+    the round-3 verdict names as
     the r04 done criterion (curate_fates, url_canonicalize,
     warc_roundtrip, cdx_latest, bm25_topk, pagerank, dup_spans)
     close the window; the tail is the multiply-verified remainder.
@@ -3114,7 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": _q_charset_sniff,
         "html_decode": _q_html_decode,
         "c4_clean": _q_c4_clean,
-        "dedup_lines": _q_dedup_lines,
+        "allpairs_cosine": _q_allpairs_cosine,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
@@ -3157,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "gopher_repetition": _q_gopher_repetition,
         "bm25_indexed": _q_bm25_indexed,
+        "dedup_lines": _q_dedup_lines,
         "sitemap_children": _q_sitemap_children,
         "ahash_neardup": _q_ahash_neardup,
         "domain_rank": _q_domain_rank,
@@ -4040,6 +4058,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "temperature_mix": smp.temperature_mix_sql(
             "documents", columns="d.doc_id, d.lang, d.source"
+        ),
+        "allpairs_cosine": _ap.allpairs_cosine_sql(
+            "documents", 0.82, max_df_frac=0.95
         ),
         "domain_rank": gr.pagerank_sql(
             gr.domain_edges_sql(
