@@ -280,6 +280,32 @@ def main() -> None:
         "ahash_images",
         lambda: entry._q_ahash_images(spark, sf_dir).count(),
     )
+    # charset front door: hex-space sniff + decode, pure codegen
+    timed(
+        "html_decode",
+        lambda: entry._q_html_decode(spark, sf_dir)
+        .agg(F.sum("n_chars")).collect(),
+    )
+    # trigram index serve: candidates + verify, no corpus scan shape
+    timed(
+        "trigram_search",
+        lambda: entry._q_trigram_search(spark, sf_dir).count(),
+    )
+    # exact all-pairs cosine via prefix filtering
+    timed(
+        "allpairs_cosine",
+        lambda: entry._q_allpairs_cosine(spark, sf_dir).count(),
+    )
+    # domain-level weighted pagerank over the eTLD+1 rollup
+    timed(
+        "domain_rank",
+        lambda: entry._q_domain_rank(spark, sf_dir).count(),
+    )
+    # temperature-balanced multilingual mix
+    timed(
+        "temperature_mix",
+        lambda: entry._q_temperature_mix(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -651,6 +651,62 @@ def main() -> None:
         "rides the banded-hamming machinery on narrow keys.",
     )
 
+    add(
+        "Charset sniff + decode (page-bytes front door)",
+        entry._q_html_decode(spark, SF),
+        "100% codegen map-only projection over hex(payload): BOM "
+        "prefix compares, ONE generated meta-prescan regex over the "
+        "first 2048 hex chars, one anchored utf-8-validity regex, "
+        "native decode/translate. Staged so each heavy sub-expression "
+        "evaluates once per row (a fused tree overflowed the 64 KB "
+        "JVM method limit); zero shuffles — rides the extraction scan.",
+    )
+
+    add(
+        "Trigram substring search (indexed serve path)",
+        entry._q_trigram_search(spark, SF),
+        "gram IN (...) candidate scan (pushes into a gram-clustered "
+        "postings parquet at deploy layout — plan-asserted in "
+        "tests/test_search.py), count-match AND-intersection on "
+        "partial-combined narrow keys, contains() verify touches "
+        "candidate texts only via one semi-join. Result provably "
+        "equals the naive full scan; hot grams add rows, not hot "
+        "reducer keys.",
+    )
+
+    add(
+        "All-pairs tf-idf cosine (Bayardo prefix filter)",
+        entry._q_allpairs_cosine(spark, SF),
+        "Unit postings built once and persisted; prefix selection is "
+        "ONE window over (doc, term) narrow triples; candidates = "
+        "prefix⋈full postings (tails below the threshold's L2 mass "
+        "never join); exact verify aggregates w·w per candidate pair "
+        "with map-side combine. Exact result — equal to the naive "
+        "threshold self-join the twin runs — at a fraction of its "
+        "pair volume.",
+    )
+
+    add(
+        "Domain-level weighted PageRank (eTLD+1 rollup)",
+        entry._q_domain_rank(spark, SF),
+        "domain_edges: map-only eTLD+1 fold + ONE partial-combine "
+        "groupBy to (src, dst, w) — page-level multiplicity combines "
+        "before the wire; then the persisted-edge weighted PageRank "
+        "loop (2 shuffles/round, dangling mass via in-plan 1-row "
+        "broadcast). The domain graph is ~3 orders smaller than the "
+        "page graph, so the loop runs on the rolled-up relation.",
+    )
+
+    add(
+        "Temperature-balanced multilingual mix",
+        entry._q_temperature_mix(spark, SF),
+        "One pruned per-language counts pass (bounded driver "
+        "collect), thresholds from the normalization-free rate form "
+        "(no order-dependent float sum — bit-replayable by the twin), "
+        "then a broadcast join + integer hash-threshold filter: kept "
+        "rows never shuffle, stable at any cluster size.",
+    )
+
     body = (
         "# PLANS — physical-plan evidence for the scale design\n\n"
         "Captured by tools/explain_plans.py at sf0.01 (plans are "
