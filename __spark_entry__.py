@@ -2890,6 +2890,38 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szymkiewicz-Simpson overlap-coefficient pairs
+    (operators/dedup.py): the asymmetric containment measure that
+    catches a document CONTAINED in another, which symmetric Jaccard
+    structurally misses; shares the single-shuffle shingle
+    intersection machinery."""
+    return dedup.ngram_overlap_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-similarity verify over LSH candidate pairs
+    (operators/dedup.py): lev-based NearDup similarity (Lee et al.
+    2022 definition) confirming what minhash nominated — candidate
+    texts are the only texts that move."""
+    docs = _docs(spark, sf_dir)
+    return dedup.edit_verify_pairs(
+        docs, dedup.minhash_lsh_candidates(docs), threshold=0.5
+    )
+
+
+_PPR_SEEDS = [1, 2, 3]
+
+
+def _q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py): seeded-teleport
+    walks for crawl seed-list expansion — rank mass concentrates in
+    the seeds' neighborhoods, dangling mass returns to the seeds."""
+    return gr.pagerank_personalized(
+        _synth_edges(spark, sf_dir), _PPR_SEEDS, iters=3
+    )
+
+
 def _q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs tf-idf cosine ≥ t via Bayardo prefix filtering
     (WWW'07; operators/allpairs.py) — the exact-threshold lexical
@@ -3178,6 +3210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_children": _q_sitemap_children,
         "ahash_neardup": _q_ahash_neardup,
         "domain_rank": _q_domain_rank,
+        "ngram_overlap": _q_ngram_overlap,
+        "edit_verify": _q_edit_verify,
+        "pagerank_seeded": _q_pagerank_seeded,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -4061,6 +4096,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "allpairs_cosine": _ap.allpairs_cosine_sql(
             "documents", 0.82, max_df_frac=0.95
+        ),
+        "ngram_overlap": dedup.ngram_overlap_pairs_sql(threshold=0.8),
+        "edit_verify": dedup.edit_verify_pairs_sql(
+            "documents", _minhash_lsh_sql(), threshold=0.5
+        ),
+        "pagerank_seeded": gr.pagerank_personalized_sql(
+            _edges_fixture_sql(), _PPR_SEEDS, iters=3
         ),
         "domain_rank": gr.pagerank_sql(
             gr.domain_edges_sql(

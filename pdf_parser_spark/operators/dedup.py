@@ -592,26 +592,16 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
 # -------------------------------------------------------- ngram jaccard
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_df: int = 1000,
-) -> DataFrame:
-    """Exact pairwise Jaccard over word n-gram shingle SETS
-    (id_a < id_b), keeping pairs ≥ threshold.
-
-    jaccard = |A∩B| / (|A| + |B| − |A∩B|): intersection counts come
-    from ONE shuffle on the shingle hash (groupBy → sorted member
-    list → native pair fan-out → count per pair), sizes from a
-    per-doc count — full texts never cross the wire, only
-    (shingle_hash, id). Buckets with document frequency > max_df are
-    dropped in the same aggregation (stop-shingle skew defusal: a
-    corpus-wide phrase would otherwise fan out quadratically; near-dup
-    semantics are unaffected at these thresholds).
-    """
+def _shingle_intersections(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int,
+    max_df: int,
+):
+    """Shared machinery of the exact set-overlap pair family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_overlap_pairs`):
+    per-doc distinct shingle hashes → (inter, sizes), where `inter`
+    is (id_a, id_b, n_common) with id_a < id_b and `sizes` the
+    per-doc set sizes. Expressions identical to the original
+    ngram_jaccard_pairs body (plan-preserving extraction)."""
     shing = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -657,10 +647,40 @@ def ngram_jaccard_pairs(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    return inter, sizes
+
+
+def _with_sizes(inter: DataFrame, sizes: DataFrame, id_col: str) -> DataFrame:
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle SETS
+    (id_a < id_b), keeping pairs ≥ threshold.
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|): intersection counts come
+    from ONE shuffle on the shingle hash (groupBy → sorted member
+    list → native pair fan-out → count per pair), sizes from a
+    per-doc count — full texts never cross the wire, only
+    (shingle_hash, id). Buckets with document frequency > max_df are
+    dropped in the same aggregation (stop-shingle skew defusal: a
+    corpus-wide phrase would otherwise fan out quadratically; near-dup
+    semantics are unaffected at these thresholds).
+    """
+    inter, sizes = _shingle_intersections(
+        df, text_col, id_col, shingle_n, max_df
+    )
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        _with_sizes(inter, sizes, id_col)
         .withColumn(
             "jaccard",
             F.col("n_common")
@@ -669,6 +689,77 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Containment detection: pairs ranked by the Szymkiewicz-Simpson
+    OVERLAP COEFFICIENT |A∩B| / min(|A|, |B|) — the asymmetric
+    measure that catches a document CONTAINED in another (a quoted
+    article inside a boilerplate wrapper, a syndicated story with an
+    appended footer), which symmetric Jaccard structurally misses:
+    a 10x-longer superset caps Jaccard at ~0.1 while containment
+    is 1.0. Same single-shuffle machinery as
+    :func:`ngram_jaccard_pairs` (shared `_shingle_intersections`);
+    output adds both one-sided containments (n_common/n_a,
+    n_common/n_b) so the consumer can tell which side is the
+    subset."""
+    inter, sizes = _shingle_intersections(
+        df, text_col, id_col, shingle_n, max_df
+    )
+    return (
+        _with_sizes(inter, sizes, id_col)
+        .withColumn(
+            "overlap", F.col("n_common") / F.least("n_a", "n_b")
+        )
+        .where(F.col("overlap") >= threshold)
+        .select(
+            "id_a", "id_b", "n_common", "n_a", "n_b",
+            F.round("overlap", 6).alias("overlap"),
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("cont_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("cont_b"),
+        )
+    )
+
+
+def ngram_overlap_pairs_sql(
+    text_col: str = "text", id_col: str = "doc_id", table: str = "documents",
+    shingle_n: int = 3, threshold: float = 0.8, max_df: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`ngram_overlap_pairs`."""
+    sh_expr = word_shingles_sql(text_col, shingle_n)
+    return f"""
+WITH shing AS (
+  SELECT {id_col}, md5(sh) AS sh FROM (
+    SELECT {id_col}, unnest(list_distinct({sh_expr})) AS sh FROM {table}
+  )
+), sizes AS (
+  SELECT {id_col}, COUNT(sh) AS n_sh FROM shing GROUP BY {id_col}
+), ok AS (
+  SELECT sh FROM shing GROUP BY sh
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_df}
+), inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b USING (sh) JOIN ok USING (sh)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+         AS overlap,
+       round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {threshold}
+"""
 
 
 def ngram_jaccard_pairs_sql(
@@ -699,6 +790,80 @@ JOIN sizes sa ON sa.{id_col} = id_a
 JOIN sizes sb ON sb.{id_col} = id_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """
+
+
+# -------------------------------------------------- edit-distance verify
+
+
+def edit_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    max_dist: int = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact edit-similarity verify over CANDIDATE pairs (id_a, id_b)
+    — the ground-truth stage behind every probabilistic family:
+    LSH/simhash/winnowing nominate, this confirms. edit_sim =
+    1 − lev(a, b) / max(len_a, len_b) (the Lee et al. 2022 NearDup
+    definition), kept when ≥ threshold.
+
+    Scale design: pairs are the (count-first-capped) candidate
+    output, so the two text joins here are the ONLY place texts move
+    — and only candidate texts. ``max_dist`` engages Spark's banded
+    levenshtein (the 3-arg form computes a |len_a − len_b| ≤ k band
+    and answers -1 beyond it, turning O(n·m) into O(k·max(n,m)) per
+    pair): pass the largest distance your threshold can accept at
+    your length cap. Pairs the band rejects are dropped exactly as a
+    below-threshold similarity would be (tests pin band == plain on
+    agreeing inputs).
+    """
+    ta = docs.select(F.col(id_col).alias("id_a"),
+                     F.col(text_col).alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col(text_col).alias("_tb"))
+    j = pairs.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    if max_dist is None:
+        lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    else:
+        lev = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    j = j.select(
+        "id_a", "id_b", lev.alias("lev"),
+        F.greatest(F.length("_ta"), F.length("_tb")).alias("max_len"),
+    ).where(F.col("lev") >= 0)
+    return j.select(
+        "id_a", "id_b", "lev", "max_len",
+        F.round(
+            F.lit(1.0) - F.col("lev") / F.col("max_len"), 6
+        ).alias("edit_sim"),
+    ).where(F.col("edit_sim") >= threshold)
+
+
+def edit_verify_pairs_sql(
+    docs_table: str,
+    pairs_sql: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`edit_verify_pairs` (plain levenshtein —
+    both engines implement the classic integer DP, so lev matches
+    exactly; the band form equals it wherever it answers)."""
+    return f"""
+WITH p AS (SELECT id_a, id_b FROM ({pairs_sql})),
+j AS (
+  SELECT p.id_a, p.id_b,
+         levenshtein(a.{text_col}, b.{text_col}) AS lev,
+         greatest(length(a.{text_col}), length(b.{text_col})) AS max_len
+  FROM p
+  JOIN {docs_table} a ON a.{id_col} = p.id_a
+  JOIN {docs_table} b ON b.{id_col} = p.id_b
+)
+SELECT id_a, id_b, lev, max_len,
+       round(1.0 - CAST(lev AS DOUBLE) / max_len, 6) AS edit_sim
+FROM j
+WHERE round(1.0 - CAST(lev AS DOUBLE) / max_len, 6) >= {threshold}"""
 
 
 # ----------------------------------------------------- canonical filter

@@ -314,6 +314,134 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     return out
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    dedup: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (the seeded-teleport variant, Page et
+    al. 1999 §6; Haveliwala WWW 2002 topic-sensitive form): random
+    walks restart at the SEED set instead of uniformly, so rank mass
+    concentrates in the seeds' neighborhoods — crawl seed-list
+    expansion ("find pages endorsed from these trusted hubs", the
+    TrustRank shape) and related-page discovery. Teleport vector
+    s = 1/|S| on seeds present in the graph, 0 elsewhere; each round
+    r = (1−d)·s + d·(contribs + dangling_mass·s); dangling mass
+    returns to the seeds, so ranks still sum to 1.
+
+    ``seeds`` is a driver-side literal list (a seed list is curated
+    config, bounded by definition — raise if > 10k, use a join-based
+    variant at that point). Same execution shape as :func:`pagerank`:
+    persisted edges, 2 shuffles/round, in-plan 1-row broadcasts,
+    localCheckpoint per round, 6 dp rounding at the end only.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if len(seeds) > 10_000:
+        raise ValueError("seed list > 10k: use a join-based teleport")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if dedup:
+        e = e.distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    is_seed = F.col("id").isin(list(seeds))
+    k1 = nodes.where(is_seed).agg(
+        F.count("*").cast("double").alias("k")
+    )  # 1 row
+    if nodes.where(is_seed).limit(1).count() == 0:
+        e.unpersist(); nodes.unpersist()
+        raise ValueError("no seed is present in the graph")
+    sv = nodes.crossJoin(F.broadcast(k1)).select(
+        "id",
+        F.when(is_seed, F.lit(1.0) / F.col("k")).otherwise(0.0).alias("s"),
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
+    ranks = sv.select("id", F.col("s").alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+        )
+        dangling = ranks.join(
+            deg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            sv.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dmass") * F.col("s")
+                    )
+                ).alias("rank"),
+            )
+        ).localCheckpoint()
+    out = ranks.select("id", F.round("rank", 6).alias("rank"))
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_personalized_sql(
+    edges_sql: str, seeds: list, iters: int = 3, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`pagerank_personalized` (CTE-unrolled
+    rounds; seeds embedded as literals)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    quoted = ", ".join(
+        str(s) if isinstance(s, (int, float))
+        else "'" + str(s).replace("'", "''") + "'"
+        for s in seeds
+    )
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        f"ks AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes"
+        f" WHERE id IN ({quoted}))",
+        f"sv AS (SELECT id, CASE WHEN id IN ({quoted})"
+        f" THEN 1.0 / (SELECT k FROM ks) ELSE 0.0 END AS s FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od"
+        " FROM e GROUP BY src)",
+        "r0 AS (SELECT id, s AS rank FROM sv)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.rank / d.od) AS c FROM e"
+            f" JOIN {p} r ON e.src = r.id JOIN deg d ON e.src = d.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0) AS dmass FROM {p}"
+            f" WHERE id NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT sv.id,"
+            f" (1.0 - {d}) * sv.s"
+            f" + {d} * (coalesce(c.c, 0.0)"
+            f" + (SELECT dmass FROM d{i}) * sv.s) AS rank"
+            f" FROM sv LEFT JOIN c{i} c ON sv.id = c.id)"
+        )
+    parts_sql = ",\n".join(parts)
+    return f"{parts_sql}\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+
+
 def pagerank_bucketed(spark, edges_table: str, iters: int = 3,
                       damping: float = 0.85) -> DataFrame:
     """PageRank over a src-BUCKETED catalog edge table — the
