@@ -2890,6 +2890,17 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (gear-hash CDC, operators/cdc.py):
+    boundaries decided by content, so an insertion shifts one chunk
+    and every later chunk hash re-matches — the delta-dedup
+    primitive for re-crawled pages; one native array fold per row,
+    no shuffle."""
+    from pdf_parser_spark.operators import cdc as _cdc
+
+    return _cdc.cdc_chunks(_docs(spark, sf_dir))
+
+
 def _q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Szymkiewicz-Simpson overlap-coefficient pairs
     (operators/dedup.py): the asymmetric containment measure that
@@ -3213,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap": _q_ngram_overlap,
         "edit_verify": _q_edit_verify,
         "pagerank_seeded": _q_pagerank_seeded,
+        "cdc_chunks": _q_cdc_chunks,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -4098,6 +4110,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", 0.82, max_df_frac=0.95
         ),
         "ngram_overlap": dedup.ngram_overlap_pairs_sql(threshold=0.8),
+        "cdc_chunks": __import__(
+            "pdf_parser_spark.operators.cdc", fromlist=["cdc"]
+        ).cdc_chunks_sql("documents"),
         "edit_verify": dedup.edit_verify_pairs_sql(
             "documents", _minhash_lsh_sql(), threshold=0.5
         ),
