@@ -306,6 +306,17 @@ def main() -> None:
         "temperature_mix",
         lambda: entry._q_temperature_mix(spark, sf_dir).count(),
     )
+    # content-defined chunking: native array fold, no shuffle
+    timed(
+        "cdc_chunks",
+        lambda: entry._q_cdc_chunks(spark, sf_dir)
+        .agg(F.sum("length")).collect(),
+    )
+    # edit-distance verify over LSH candidates
+    timed(
+        "edit_verify",
+        lambda: entry._q_edit_verify(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

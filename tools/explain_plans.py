@@ -707,6 +707,26 @@ def main() -> None:
         "rows never shuffle, stable at any cluster size.",
     )
 
+    add(
+        "Content-defined chunking (gear CDC)",
+        entry._q_cdc_chunks(spark, SF),
+        "The whole chunker is ONE native array fold per row (per-char "
+        "gear values resolved once, windowed integer sum, bounds as "
+        "an array filter) — no explode, no window, no shuffle, no "
+        "UDF; only narrow (doc, idx, start, len, md5) chunk rows "
+        "leave the projection. Composes with the snapshot diff for "
+        "chunk-level delta dedup of re-crawled pages.",
+    )
+
+    add(
+        "Edit-distance verify over LSH candidates",
+        entry._q_edit_verify(spark, SF),
+        "Texts move ONLY for candidate pairs (two broadcast-ready "
+        "joins against the capped LSH candidate set); native "
+        "levenshtein — the 3-arg banded form bounds per-pair cost "
+        "when a distance cap is supplied.",
+    )
+
     body = (
         "# PLANS — physical-plan evidence for the scale design\n\n"
         "Captured by tools/explain_plans.py at sf0.01 (plans are "
