@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persisted
 from .terms import TERMS_SQL, _terms
 
 
@@ -104,9 +105,12 @@ def allpairs_cosine(
     naive threshold join by the prefix-filter argument above."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    posts = tfidf_unit_postings(
-        df, text_col, id_col, min_df, max_df_frac
-    ).persist()
+    # registered cache (caching.persisted): postings feed the prefix
+    # window, the candidate join (twice) and the verify joins (twice);
+    # released by the caller's release_cached() after the action
+    posts = persisted(
+        tfidf_unit_postings(df, text_col, id_col, min_df, max_df_frac)
+    )
     # prefix: order features by (w DESC, term) per doc; a row is
     # indexed iff the suffix L2 mass from it onward is still >= t^2
     suffix = F.sum(F.col("w") * F.col("w")).over(

@@ -186,3 +186,17 @@ def test_extraction_html_route_is_charset_aware(spark):
     # all proves the charset-aware path ran
     assert "wide page text here" in rows["u2"].text
     assert rows["u2"].metadata["charset"] == "utf-16le"
+
+
+def test_cp1252_sql_transcode_full_repertoire():
+    """The DuckDB hex-transcode chain (5 range passes + 32 literal
+    replaces, pass order load-bearing) must reproduce the Python
+    sloppy-cp1252 decode for EVERY byte 0x01-0xFF."""
+    import duckdb
+
+    payload = bytes(range(1, 256))
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + cs.decode_cp1252_sql(f"'{payload.hex().upper()}'")
+    ).fetchone()[0]
+    assert got == _sloppy_cp1252(payload)
