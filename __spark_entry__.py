@@ -2890,6 +2890,25 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_T0_US = 1735689600000000  # 2025-01-01T00:00Z, hour-aligned
+
+
+def _q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending-term counts (streaming/trending.py batch
+    twin; the stream's complete-mode snapshot equals this
+    row-for-row, pinned in tests/test_trending.py)."""
+    from pdf_parser_spark.streaming import trending as tr
+
+    fix = _docs(spark, sf_dir).select(
+        F.timestamp_micros(
+            F.lit(_TREND_T0_US)
+            + (F.col("doc_id") % 180) * F.lit(60_000_000)
+        ).alias("warc_ts"),
+        "text",
+    )
+    return tr.trending_terms_batch(fix)
+
+
 def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (gear-hash CDC, operators/cdc.py):
     boundaries decided by content, so an insertion shifts one chunk
@@ -3225,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verify": _q_edit_verify,
         "pagerank_seeded": _q_pagerank_seeded,
         "cdc_chunks": _q_cdc_chunks,
+        "trending_terms": _q_trending_terms,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -4110,6 +4130,16 @@ def oracle_sql() -> dict[str, str]:
             "documents", 0.82, max_df_frac=0.95
         ),
         "ngram_overlap": dedup.ngram_overlap_pairs_sql(threshold=0.8),
+        "trending_terms": (
+            f"WITH fix AS (SELECT {_TREND_T0_US}"
+            " + (doc_id % 180) * 60000000 AS ts_us, text FROM documents),"
+            " t AS (SELECT ts_us, unnest(regexp_extract_all(lower(text),"
+            " '[a-z]{2,}')) AS term FROM fix)"
+            " SELECT (ts_us // 3600000000) * 3600000000 AS win_start_us,"
+            " (ts_us // 3600000000) * 3600000000 + 3600000000"
+            " AS win_end_us, term, count(*) AS n"
+            " FROM t GROUP BY 1, 2, 3"
+        ),
         "cdc_chunks": __import__(
             "pdf_parser_spark.operators.cdc", fromlist=["cdc"]
         ).cdc_chunks_sql("documents"),
