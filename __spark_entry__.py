@@ -2890,6 +2890,28 @@ def _q_html_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_NEW_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN text"
+    " WHEN 1 THEN 'NEWLY INSERTED PREAMBLE ' || text"
+    " ELSE translate(text, 'aeiou', 'xyzqw') END"
+)
+
+
+def _q_chunk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delta-storage accounting between two crawls of one url
+    space (operators/cdc.py::chunk_delta): per key, chunks the new
+    snapshot adds/drops/shares and the byte volumes — the rsync/LBFS
+    bill that motivates content-defined boundaries."""
+    from pdf_parser_spark.operators import cdc as _cdc
+
+    docs = _docs(spark, sf_dir)
+    return _cdc.chunk_delta(
+        docs.select("doc_id", "text"),
+        docs.selectExpr("doc_id", f"{_CHUNK_NEW_SQL} AS text"),
+        key_col="doc_id",
+    )
+
+
 _TREND_T0_US = 1735689600000000  # 2025-01-01T00:00Z, hour-aligned
 
 
@@ -3245,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_seeded": _q_pagerank_seeded,
         "cdc_chunks": _q_cdc_chunks,
         "trending_terms": _q_trending_terms,
+        "chunk_delta": _q_chunk_delta,
         "robots_rules": _q_robots_rules,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
@@ -4143,6 +4166,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": __import__(
             "pdf_parser_spark.operators.cdc", fromlist=["cdc"]
         ).cdc_chunks_sql("documents"),
+        "chunk_delta": __import__(
+            "pdf_parser_spark.operators.cdc", fromlist=["cdc"]
+        ).chunk_delta_sql(
+            "SELECT doc_id, text FROM documents",
+            f"SELECT doc_id, {_CHUNK_NEW_SQL} AS text FROM documents",
+            key_col="doc_id",
+        ),
         "edit_verify": dedup.edit_verify_pairs_sql(
             "documents", _minhash_lsh_sql(), threshold=0.5
         ),

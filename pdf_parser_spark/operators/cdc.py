@@ -187,6 +187,91 @@ SELECT {id_col}, c AS chunk_idx, _b[c] AS start,
 FROM x WHERE _b[c + 1] - _b[c] > 0"""
 
 
+def chunk_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    avg_bits: int = 6,
+) -> DataFrame:
+    """The delta-storage bill between two crawls of one url space:
+    per key, how many content-defined chunks the NEW snapshot adds /
+    drops / shares with the old one, and the byte volumes — i.e.
+    "storing this re-crawl costs bytes_added, not the page size",
+    the rsync/LBFS accounting that motivates CDC. Composes with
+    `operators/snapshots.py`: run the cheap fingerprint diff first
+    and feed only `changed` keys here.
+
+    Per side, chunk sets reduce map-side to (key, chunk_hash,
+    length) — texts never shuffle; the delta is ONE full-outer join
+    on (key, hash) of narrow rows + a per-key aggregate."""
+
+    def chunkset(df: DataFrame, side: str) -> DataFrame:
+        return (
+            cdc_chunks(df, text_col, key_col, avg_bits)
+            .groupBy(key_col, "chunk_hash")
+            .agg(F.min("length").alias(f"len_{side}"))
+        )
+
+    o = chunkset(old, "o")
+    n = chunkset(new, "n")
+    j = o.join(n, [key_col, "chunk_hash"], "full_outer")
+    in_old = F.col("len_o").isNotNull()
+    in_new = F.col("len_n").isNotNull()
+    return (
+        j.groupBy(key_col)
+        .agg(
+            F.sum(F.when(in_new & ~in_old, 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(in_old & ~in_new, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(in_old & in_new, 1).otherwise(0)).alias("n_shared"),
+            F.sum(F.when(in_new & ~in_old, F.col("len_n")).otherwise(0)
+                  ).alias("bytes_added"),
+            F.sum(F.when(in_old & in_new, F.col("len_n")).otherwise(0)
+                  ).alias("bytes_shared"),
+        )
+    )
+
+
+def chunk_delta_sql(
+    old_sql: str,
+    new_sql: str,
+    key_col: str = "url",
+    text_col: str = "text",
+    avg_bits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`chunk_delta` (``old_sql``/``new_sql``
+    are queries producing (key, text))."""
+
+    def cs(src: str, side: str) -> str:
+        inner = cdc_chunks_sql(f"({src})", text_col, key_col, avg_bits)
+        return (
+            f"SELECT {key_col}, chunk_hash, min(length) AS len_{side}"
+            f" FROM ({inner}) GROUP BY 1, 2"
+        )
+
+    return f"""
+WITH co AS MATERIALIZED ({cs(old_sql, 'o')}),
+cn AS MATERIALIZED ({cs(new_sql, 'n')}),
+j AS (
+  SELECT coalesce(co.{key_col}, cn.{key_col}) AS {key_col},
+         co.len_o, cn.len_n
+  FROM co FULL OUTER JOIN cn
+    ON co.{key_col} = cn.{key_col} AND co.chunk_hash = cn.chunk_hash
+)
+SELECT {key_col},
+       sum(CASE WHEN len_n IS NOT NULL AND len_o IS NULL
+                THEN 1 ELSE 0 END) AS n_added,
+       sum(CASE WHEN len_o IS NOT NULL AND len_n IS NULL
+                THEN 1 ELSE 0 END) AS n_removed,
+       sum(CASE WHEN len_o IS NOT NULL AND len_n IS NOT NULL
+                THEN 1 ELSE 0 END) AS n_shared,
+       sum(CASE WHEN len_n IS NOT NULL AND len_o IS NULL
+                THEN len_n ELSE 0 END) AS bytes_added,
+       sum(CASE WHEN len_o IS NOT NULL AND len_n IS NOT NULL
+                THEN len_n ELSE 0 END) AS bytes_shared
+FROM j GROUP BY 1"""
+
+
 def cdc_chunks_py(text: str, avg_bits: int = 6) -> list:
     """Pure-Python reference (tests): [(start, length, md5hex)]."""
     mask = (1 << avg_bits) - 1

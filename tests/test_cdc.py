@@ -82,3 +82,60 @@ def test_bad_avg_bits(spark):
         cdc.cdc_chunks(docs, avg_bits=0)
     with pytest.raises(ValueError):
         cdc.cdc_chunks(docs, avg_bits=25)
+
+
+def test_chunk_delta_accounting(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    old = docs.select("doc_id", "text")
+    new = docs.selectExpr(
+        "doc_id",
+        "CASE doc_id % 3 WHEN 0 THEN text"
+        " WHEN 1 THEN 'NEWLY INSERTED PREAMBLE ' || text"
+        " ELSE translate(text, 'aeiou', 'xyzqw') END AS text",
+    )
+    rows = {r.doc_id: r
+            for r in cdc.chunk_delta(old, new, key_col="doc_id").collect()}
+    tot_shared = tot_added = 0
+    for doc_id, r in rows.items():
+        v = doc_id % 3
+        if v == 0:   # unchanged: everything shared
+            assert r.n_added == 0 and r.n_removed == 0 and r.n_shared > 0
+        elif v == 1:  # prefix insert: most chunks re-align
+            tot_shared += r.bytes_shared
+            tot_added += r.bytes_added
+        else:        # vowel rewrite: nothing survives
+            assert r.n_shared == 0 and r.n_added > 0
+    # storing the re-crawl of prefix-edited pages costs a fraction
+    # of their size — the CDC selling point
+    assert tot_added < 0.6 * (tot_added + tot_shared)
+
+
+def test_chunk_delta_twin(spark):
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new_expr = (
+        "CASE doc_id % 3 WHEN 0 THEN text"
+        " WHEN 1 THEN 'NEWLY INSERTED PREAMBLE ' || text"
+        " ELSE translate(text, 'aeiou', 'xyzqw') END"
+    )
+    got = sorted(
+        tuple(r)
+        for r in cdc.chunk_delta(
+            docs.select("doc_id", "text"),
+            docs.selectExpr("doc_id", f"{new_expr} AS text"),
+            key_col="doc_id",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        con.execute(cdc.chunk_delta_sql(
+            "SELECT doc_id, text FROM documents",
+            f"SELECT doc_id, {new_expr} AS text FROM documents",
+            key_col="doc_id",
+        )).fetchall()
+    )
+    assert got == want and len(got) == docs.count()
