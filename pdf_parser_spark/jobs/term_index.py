@@ -147,3 +147,66 @@ def bm25_topk_indexed(
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def merge_term_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: Optional[int] = None,
+) -> None:
+    """Incremental index maintenance: fold a crawl increment into an
+    existing index WITHOUT re-tokenizing the corpus — only the new
+    documents tokenize; old postings stream through one union +
+    re-cluster write (pure I/O, no text ever read).
+
+    Contract: the merged index serves `bm25_topk_indexed` results
+    equal to a full rebuild over (old corpus ∪ increment) — pinned
+    by test at the 6-dp score grain (the merged avgdl is the exact
+    weighted mean (n·a + n'·a')/(n+n'), which can differ from the
+    rebuild's single-pass mean in the last ulp; BM25's 6-dp output
+    rounding sits ~10 orders above it).
+
+    `new_docs` must be NEW document ids: updates/deletes first drop
+    the affected ids (compose with `operators/snapshots.py` — the
+    changed/removed keys — exactly like the incremental-curation
+    path); appending a replaced id would double-count its df.
+    """
+    partitions = partitions or spark.sparkContext.defaultParallelism * 2
+    old_postings, old_stats = load_term_index(spark, index_path)
+    toks = new_docs.select(
+        F.col(id_col), _terms(F.col(text_col)).alias("ts")
+    ).select(id_col, F.size("ts").alias("dl"), "ts")
+    new_postings = (
+        toks.select(id_col, "dl", F.explode("ts").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", id_col, "tf", "dl")
+    )
+    (
+        old_postings.unionByName(new_postings)
+        .repartition(partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/postings")
+    )
+    new_stats = toks.agg(
+        F.count("*").cast("double").alias("n2"),
+        F.avg("dl").alias("a2"),
+    )
+    (
+        old_stats.crossJoin(new_stats)
+        .select(
+            (F.col("n_docs") + F.col("n2")).alias("n_docs"),
+            (
+                (F.col("n_docs") * F.col("avgdl")
+                 + F.col("n2") * F.coalesce(F.col("a2"), F.lit(0.0)))
+                / (F.col("n_docs") + F.col("n2"))
+            ).alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/stats")
+    )

@@ -77,3 +77,30 @@ def test_postings_shape(spark, tmp_path):
         postings.groupBy("term", "doc_id").count().where("count > 1")
         .count() == 0
     )
+
+
+def test_incremental_merge_equals_rebuild(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0)
+
+    from pdf_parser_spark.jobs.term_index import merge_term_index
+
+    p_old = str(tmp_path / "old")
+    p_merged = str(tmp_path / "merged")
+    p_full = str(tmp_path / "full")
+    build_term_index(old, p_old)
+    merge_term_index(spark, p_old, inc, p_merged)
+    build_term_index(docs, p_full)
+
+    pm, sm = load_term_index(spark, p_merged)
+    pf, sf_ = load_term_index(spark, p_full)
+    # identical postings relation
+    assert sorted(map(tuple, pm.collect())) == sorted(map(tuple, pf.collect()))
+    # identical corpus scalars at the grain BM25 sees
+    rm, rf = sm.head(), sf_.head()
+    assert rm["n_docs"] == rf["n_docs"]
+    assert abs(rm["avgdl"] - rf["avgdl"]) < 1e-9
+    # and the served results match the inline operator exactly
+    merged = _rows(bm25_topk_indexed(pm, sm, QUERY, k=10))
+    assert merged == _rows(terms.bm25_topk(docs, QUERY, k=10))
