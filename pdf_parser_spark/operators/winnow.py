@@ -68,12 +68,26 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    hs = shingle_hashes(F.col(text_col), shingle_n=k)
-    # (h, p) pairs via the two-arg transform (arg 2 = ARRAY INDEX)
-    hp = F.transform(
-        hs, lambda x, i: F.struct(x.alias("h"), i.alias("p"))
+    # STAGED: the gram-hash array is computed once per row into a
+    # column, and every downstream expression references the
+    # attribute. Inlining it instead puts the md5 shingle-hash chain
+    # INSIDE the per-window fold, where codegen subexpression
+    # elimination does not reach across nested lambdas — the hashes
+    # recompute per window, turning O(n·w) into O(n²·hash)
+    # (measured 200 s → 4 s at sf0.1).
+    staged = df.select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), shingle_n=k).alias("_hs"),
+    ).select(
+        F.col(id_col),
+        # (h, p) pairs via the two-arg transform (arg 2 = ARRAY INDEX)
+        F.transform(
+            F.col("_hs"),
+            lambda x, i: F.struct(x.alias("h"), i.alias("p")),
+        ).alias("_hp"),
     )
-    n = F.size(hs)
+    hp = F.col("_hp")
+    n = F.size(hp)
     starts = F.when(
         n <= 0, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))))
@@ -92,7 +106,7 @@ def winnow_fingerprints(
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("s"))
+        staged.select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("s"))
         .select(
             id_col,
             (F.col("s.p") + 1).alias("pos"),
