@@ -53,7 +53,14 @@ from pyspark.sql import functions as F
 
 def text_trigrams(col: Column) -> Column:
     """DISTINCT 3-char windows of lower(col) — native, no UDF.
-    NULL-safe: NULL/short text → empty array."""
+    NULL-safe: NULL/short text → empty array.
+
+    One-expression convenience form; note its `t.substr(i, 3)` sits
+    inside a transform lambda, where `lower(col)` re-evaluates per
+    position (codegen CSE does not reach across nested lambdas) —
+    fine for a single needle or short rows. The corpus-scale
+    postings build (:func:`trigram_postings`) uses the STAGED
+    split-per-char form instead, which is O(n)."""
     t = F.lower(col)
     n = F.length(t)
     grams = F.transform(
@@ -75,10 +82,34 @@ TRIGRAMS_SQL = (
 def trigram_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(gram, doc_id) — one row per distinct per-doc trigram."""
-    return df.select(
+    """(gram, doc_id) — one row per distinct per-doc trigram.
+
+    Staged O(n) build: the lowered per-char array is computed ONCE
+    per row into a column, and grams assemble from three O(1) array
+    lookups per position — `substr(t, i, 3)` inside the lambda would
+    both re-lower the text per position and pay an O(i) UTF8 scan
+    per call (the winnowing/CDC lesson, same staging fix)."""
+    staged = df.select(
         F.col(id_col),
-        F.explode(text_trigrams(F.col(text_col))).alias("gram"),
+        F.split(F.lower(F.col(text_col)), "").alias("_cs"),
+    )
+    cs = F.col("_cs")
+    n = F.size(cs)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.concat(
+            F.element_at(cs, i.cast("int")),
+            F.element_at(cs, (i + 1).cast("int")),
+            F.element_at(cs, (i + 2).cast("int")),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n >= 3, F.array_distinct(grams)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
     ).select("gram", id_col)
 
 
