@@ -2855,14 +2855,34 @@ _CHARSET_HEX_DUCK = _charset_hex_case(
     _CHS_PRE_DUCK,
     f"regexp_replace({_CHS_PRE_DUCK}, '(..)', '\\100', 'g')",
 )
+#: the utf-16 variants are byte-identical across engines ONLY for
+#: ASCII prefixes (Spark encodes UTF-16LE natively, DuckDB
+#: 00-interleaves the UTF-8 hex — a BMP char is 2 vs 4-6 bytes), so
+#: the fixture admits only docs whose prefix is pure ASCII — the
+#: same byte-length==char-length test on both engines, enforced
+#: rather than assumed (today's corpora are all-ASCII; a future one
+#: need not be).
+_CHS_ASCII_SPARK = (
+    "length(encode(substr(text, 1, 40), 'UTF-8'))"
+    " = length(substr(text, 1, 40))"
+)
+_CHS_ASCII_DUCK = (
+    "octet_length(encode(substr(text, 1, 40)))"
+    " = length(substr(text, 1, 40))"
+)
 _CHARSET_SRC_SQL = (
-    f"SELECT doc_id, unhex({_CHARSET_HEX_DUCK}) AS html FROM documents"
+    f"SELECT doc_id, unhex({_CHARSET_HEX_DUCK}) AS html"
+    f" FROM documents WHERE {_CHS_ASCII_DUCK}"
 )
 
 
 def _charset_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.unhex(F.expr(_CHARSET_HEX_SPARK)).alias("html")
+    return (
+        _docs(spark, sf_dir)
+        .where(F.expr(_CHS_ASCII_SPARK))
+        .select(
+            "doc_id", F.unhex(F.expr(_CHARSET_HEX_SPARK)).alias("html")
+        )
     )
 
 

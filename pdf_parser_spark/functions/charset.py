@@ -198,9 +198,11 @@ def _sloppy_cp1252_bytes(payload: bytes) -> str:
     return "".join(_CP1252_GRAPHICS.get(b, chr(b)) for b in payload)
 
 
-def decode_bytes(payload: bytes) -> str:
-    """Full-fidelity worker-side decode under :func:`sniff_bytes`."""
-    cs = sniff_bytes(payload)
+def decode_bytes(payload: bytes, charset: str = None) -> str:
+    """Full-fidelity worker-side decode under :func:`sniff_bytes`
+    (pass ``charset`` to reuse an already-computed verdict — the
+    sniff's utf-8 re-validation is the expensive part)."""
+    cs = sniff_bytes(payload) if charset is None else charset
     if cs == "utf-8":
         body = payload[3:] if payload.startswith(b"\xef\xbb\xbf") else payload
         return body.decode("utf-8", errors="replace")

@@ -114,8 +114,11 @@ def extract_one(payload: Optional[bytes], force_ocr: bool = False,
             # a blind utf-8 decode mangles the ~5-10% of crawl pages
             # that ship cp1252/utf-16 bytes, and mojibake'd text
             # hashes apart from its clean twin in every dedup family.
-            out["raw_text"] = extract_main_text(decode_bytes(payload))
-            out["metadata"] = {"charset": sniff_bytes(payload)}
+            cs = sniff_bytes(payload)  # once: the sniff re-validates
+            out["raw_text"] = extract_main_text(
+                decode_bytes(payload, charset=cs)
+            )
+            out["metadata"] = {"charset": cs}
     except Exception:
         out["error"] = traceback.format_exc(limit=3)
     return out

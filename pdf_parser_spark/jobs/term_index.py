@@ -180,6 +180,10 @@ def merge_term_index(
     toks = new_docs.select(
         F.col(id_col), _terms(F.col(text_col)).alias("ts")
     ).select(id_col, F.size("ts").alias("dl"), "ts")
+    # persisted: the postings write AND the stats aggregate both
+    # consume toks — without this the increment tokenizes twice,
+    # which is the one cost the job exists to avoid
+    toks = toks.persist()
     new_postings = (
         toks.select(id_col, "dl", F.explode("ts").alias("term"))
         .groupBy("term", id_col, "dl")
@@ -210,3 +214,4 @@ def merge_term_index(
         .write.mode("overwrite")
         .parquet(f"{out_path}/stats")
     )
+    toks.unpersist()

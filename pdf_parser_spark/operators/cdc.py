@@ -63,7 +63,15 @@ def _spark_h() -> str:
     inside the position loop is an O(n) UTF8 scan per call (O(n²)
     per document); resolving chars once via split makes the whole
     chunker O(window·n)."""
-    term = "shiftleft(element_at(_gv, CAST(j AS INT)), CAST(i - j AS INT))"
+    # the BIGINT cast precedes the shift: element_at yields INT and an
+    # int32 shiftleft WRAPS at bit 31 — the result would still be
+    # correct only via the two's-complement `& mask` coincidence
+    # (2^20 | 2^32), which the documented "terms < 2^39" math must
+    # not depend on
+    term = (
+        "shiftleft(CAST(element_at(_gv, CAST(j AS INT)) AS BIGINT),"
+        " CAST(i - j AS INT))"
+    )
     return (
         f"aggregate(sequence(greatest(1, i - {_W - 1}), i),"
         f" CAST(0 AS BIGINT), (a, j) -> a + {term}) % {_MOD}"

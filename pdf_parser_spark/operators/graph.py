@@ -215,14 +215,18 @@ def domain_edges_sql(edges_sql: str, src_col: str = "src",
 def pagerank_round(e: DataFrame, deg: DataFrame, nodes: DataFrame,
                    n1: DataFrame, ranks: DataFrame,
                    damping: float = 0.85,
-                   weight_col: str = None) -> DataFrame:
+                   weight_col: str = None,
+                   teleport: DataFrame = None) -> DataFrame:
     """One PageRank iteration body (extracted so the plan of a round
     is inspectable — tests/test_graph_bucketed.py asserts the
     Exchange profile of this exact function over a bucketed edge
     table). Returns the next ranks frame, LAZY (the loop in
     `pagerank` checkpoints it). With ``weight_col``, a node's rank
     splits across out-edges proportionally to edge weight (``deg``
-    must then hold sum-of-weights in ``od``)."""
+    must then hold sum-of-weights in ``od``). With ``teleport`` (an
+    (id, s) frame), the restart goes to s instead of uniform 1/n and
+    dangling mass follows it — the personalized form; ``nodes``/
+    ``n1`` are unused then (one machinery, two update rules)."""
     share = (
         F.col("rank") * F.col(weight_col) / F.col("od")
         if weight_col else F.col("rank") / F.col("od")
@@ -236,6 +240,22 @@ def pagerank_round(e: DataFrame, deg: DataFrame, nodes: DataFrame,
     dangling = ranks.join(
         deg.select(F.col("src").alias("id")), "id", "left_anti"
     ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))  # 1 row
+    if teleport is not None:
+        return (
+            teleport
+            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dmass") * F.col("s")
+                    )
+                ).alias("rank"),
+            )
+        )
     return (
         nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
         .crossJoin(F.broadcast(n1))
@@ -356,42 +376,23 @@ def pagerank_personalized(
         .persist()
     )
     is_seed = F.col("id").isin(list(seeds))
-    k1 = nodes.where(is_seed).agg(
-        F.count("*").cast("double").alias("k")
-    )  # 1 row
-    if nodes.where(is_seed).limit(1).count() == 0:
+    # one driver-side count serves validation AND the teleport weight
+    # (the seed list is driver-side config already; 1.0/k as a
+    # literal is the same double the in-plan division produced)
+    k = nodes.where(is_seed).count()
+    if k == 0:
         e.unpersist(); nodes.unpersist()
         raise ValueError("no seed is present in the graph")
-    sv = nodes.crossJoin(F.broadcast(k1)).select(
+    sv = nodes.select(
         "id",
-        F.when(is_seed, F.lit(1.0) / F.col("k")).otherwise(0.0).alias("s"),
+        F.when(is_seed, F.lit(1.0 / k)).otherwise(0.0).alias("s"),
     ).localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("od"))
     ranks = sv.select("id", F.col("s").alias("rank")).localCheckpoint()
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
-        )
-        dangling = ranks.join(
-            deg.select(F.col("src").alias("id")), "id", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        ranks = (
-            sv.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    (1.0 - damping) * F.col("s")
-                    + damping * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dmass") * F.col("s")
-                    )
-                ).alias("rank"),
-            )
-        ).localCheckpoint()
+        ranks = pagerank_round(
+            e, deg, None, None, ranks, damping, teleport=sv
+        ).localCheckpoint()  # flat lineage; one round materialized
     out = ranks.select("id", F.round("rank", 6).alias("rank"))
     e.unpersist()
     nodes.unpersist()

@@ -669,13 +669,27 @@ def temperature_mix(
         for s in wr
     }
     spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # NULL key (undetected language) is a FIRST-CLASS stratum — the
+    # stratified_sample precedent: an equi-join would silently drop
+    # every NULL row while its count still participated in t_prime,
+    # collapsing the other languages' rates. Null-safe join instead;
+    # schema built explicitly (None defeats type inference).
+    thr_schema = StructType(
+        [StructField("_tk", df.schema[key_col].dataType),
+         StructField("_thr", LongType())]
+    )
     thr_df = spark.createDataFrame(
-        [(k, t) for k, t in thresholds.items()], [key_col, "_thr"]
+        [(k, t) for k, t in thresholds.items()], thr_schema
     )
     return (
-        df.join(F.broadcast(thr_df), key_col)
+        df.join(
+            F.broadcast(thr_df),
+            F.col(key_col).eqNullSafe(F.col("_tk")),
+        )
         .where(hash_draw(F.col(id_col), salt) < F.col("_thr"))
-        .drop("_thr")
+        .drop("_tk", "_thr")
     )
 
 
@@ -705,7 +719,8 @@ thr AS (
               AS BIGINT) AS thr
   FROM wr
 )
-SELECT {columns} FROM {table} d JOIN thr ON d.{key_col} = thr.k
+SELECT {columns} FROM {table} d
+JOIN thr ON d.{key_col} IS NOT DISTINCT FROM thr.k
 WHERE {hash_draw_sql("d." + id_col, salt)} < thr.thr
 """
 

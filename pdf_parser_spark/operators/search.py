@@ -51,27 +51,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def text_trigrams(col: Column) -> Column:
-    """DISTINCT 3-char windows of lower(col) — native, no UDF.
-    NULL-safe: NULL/short text → empty array.
-
-    One-expression convenience form; note its `t.substr(i, 3)` sits
-    inside a transform lambda, where `lower(col)` re-evaluates per
-    position (codegen CSE does not reach across nested lambdas) —
-    fine for a single needle or short rows. The corpus-scale
-    postings build (:func:`trigram_postings`) uses the STAGED
-    split-per-char form instead, which is O(n)."""
-    t = F.lower(col)
-    n = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
-        lambda i: t.substr(i, F.lit(3)),
-    )
-    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 TRIGRAMS_SQL = (
     "list_distinct(list_transform(generate_series(1,"
     " greatest(length(lower({col})) - 2, 0)),"

@@ -389,3 +389,31 @@ def test_temperature_mix_twin(spark):
         "documents", columns="d.doc_id, d.lang"
     )).fetchall())
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_temperature_mix_null_key_is_a_stratum(spark):
+    import duckdb
+
+    from pdf_parser_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    withnull = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang",
+    )
+    kept = temperature_mix(withnull).select("doc_id", "lang").collect()
+    # NULL-key rows survive as their own stratum (the null-safe join)
+    assert any(r.lang is None for r in kept)
+    got = sorted((r.doc_id, r.lang) for r in kept)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = sorted(con.execute(temperature_mix_sql(
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL"
+        " ELSE lang END AS lang FROM documents)",
+        columns="d.doc_id, d.lang",
+    )).fetchall())
+    assert got == want

@@ -92,3 +92,23 @@ def test_postings_distinct_per_doc(spark):
         (r.gram, r.doc_id) for r in se.trigram_postings(docs).collect()
     )
     assert rows == [("abc", 1), ("bca", 1), ("cab", 1)]
+
+
+def test_postings_sql_twin_parity(spark):
+    """trigram_postings_sql must stay a faithful twin of the staged
+    Spark build (they use different gram-assembly forms)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "doc_id < 50"
+    )
+    got = sorted(
+        (r.gram, r.doc_id) for r in se.trigram_postings(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d50 AS SELECT * FROM '{SF}/documents.parquet'"
+        " WHERE doc_id < 50"
+    )
+    want = sorted(con.execute(se.trigram_postings_sql("d50")).fetchall())
+    assert got == want and len(got) > 100
