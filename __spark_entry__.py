@@ -1370,8 +1370,10 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: body shapes (grouped rules + specific agent; comment/empty-disallow
 #: noise; empty file), exercising every parser branch.
 _ROBOTS_TXT_A = (
-    "# politeness\nUser-agent: *\nDisallow: /private\n"
+    "# politeness\nSitemap: https://cdn.example.com/sitemap.xml\n"
+    "User-agent: *\nDisallow: /private\n"
     "Allow: /private/ok\n\nUser-agent: fancybot\nDisallow: /\n"
+    "Crawl-delay: 3\n"
 )
 _ROBOTS_TXT_B = (
     "Disallow: /orphan\nUser-agent: *\nDisallow:\n"
@@ -1434,6 +1436,28 @@ def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     robots, _ = _robots_fixture(spark, sf_dir)
     return parse_robots(robots)
+
+
+def _q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (sources/robots.py): the
+    group-independent `Sitemap:` directives — the link between the
+    exclusion half (robots) and the discovery half (sitemaps.py) of
+    crawl politeness."""
+    from pdf_parser_spark.sources.robots import robots_sitemaps
+
+    robots, _ = _robots_fixture(spark, sf_dir)
+    return robots_sitemaps(robots)
+
+
+def _q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective Crawl-delay per host for an agent
+    (sources/robots.py): §2.2.1 group assignment, specific-agent
+    shadowing, max-wins — the pacing input for the frontier's
+    politeness waves."""
+    from pdf_parser_spark.sources.robots import crawl_delays
+
+    robots, _ = _robots_fixture(spark, sf_dir)
+    return crawl_delays(robots, agent="fancybot")
 
 
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3289,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": _q_trending_terms,
         "chunk_delta": _q_chunk_delta,
         "robots_rules": _q_robots_rules,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "crawl_delays": _q_crawl_delays,
         "bpe_merges": _q_bpe_merges,
         "pq_topk": _q_pq_topk,
         "snapshot_diff": _q_snapshot_diff,
@@ -4022,6 +4048,17 @@ def oracle_sql() -> dict[str, str]:
             _ROBOTS_SQL.format(
                 a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
             )
+        ),
+        "robots_sitemaps": _robots.robots_sitemaps_sql(
+            _ROBOTS_SQL.format(
+                a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
+            )
+        ),
+        "crawl_delays": _robots.crawl_delays_sql(
+            _ROBOTS_SQL.format(
+                a=_sql_lit(_ROBOTS_TXT_A), b=_sql_lit(_ROBOTS_TXT_B)
+            ),
+            agent="fancybot",
         ),
         "robots_gate": _robots.robots_allowed_sql(
             _PAGES_SQL,

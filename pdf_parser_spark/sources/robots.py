@@ -240,3 +240,165 @@ SELECT url,
        rule_path AS matched_path
 FROM joined WHERE rn = 1
 """
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url): the `Sitemap:` directives — robots.txt is
+    how a crawler DISCOVERS a site's sitemaps (sitemaps.org protocol:
+    the directive is GROUP-INDEPENDENT, so no user-agent machinery
+    applies); feeds sources/sitemaps.py::parse_sitemaps and from
+    there jobs/frontier.py. Map-only: line split + key/val regexp,
+    distinct per (host, url)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    key = F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1)))
+    # the value is a URL and contains ':' — split on the FIRST colon
+    val = F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1))
+    return (
+        lines.select("host", key.alias("k"), val.alias("sitemap_url"))
+        .where((F.col("k") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
+    )
+
+
+def robots_sitemaps_sql(
+    table: str, host_col: str = "host", text_col: str = "robots_txt"
+) -> str:
+    """DuckDB twin of :func:`robots_sitemaps`."""
+    return f"""
+SELECT DISTINCT host, sitemap_url FROM (
+  SELECT {host_col} AS host,
+         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS k,
+         trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS sitemap_url
+  FROM (
+    SELECT {host_col},
+           trim(regexp_replace(unnest(string_split({text_col}, chr(10))),
+                               '#.*$', '')) AS clean
+    FROM {table}
+  ) t
+) x WHERE k = 'sitemap' AND sitemap_url <> ''"""
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, delay_secs): the effective `Crawl-delay` for ``agent``
+    — the de-facto extension honored by most crawlers (not in RFC
+    9309 itself; Yandex/Bing semantics). Group resolution matches
+    :func:`robots_allowed`: the directive belongs to the §2.2.1
+    consecutive-user-agent group it appears in, a specific agent's
+    group shadows '*' entirely, and when several applicable groups
+    carry delays the MAX wins (conservative politeness). Non-numeric
+    values drop. Hosts without an applicable delay emit no row —
+    the frontier's pacing default applies."""
+    agent = agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    directives = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("val"),
+    ).where(F.col("key").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("key") == "user-agent"
+    grouped = (
+        directives.withColumn(
+            "_new_group",
+            (
+                is_ua
+                & (F.coalesce(F.lag("key").over(w), F.lit(""))
+                   != "user-agent")
+            ).cast("int"),
+        )
+        .withColumn(
+            "group_id",
+            F.sum("_new_group").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    agents = grouped.where(is_ua).select(
+        "host", "group_id", F.lower(F.col("val")).alias("agent")
+    )
+    delays = grouped.where(
+        ~is_ua & F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select(
+        "host", "group_id", F.col("val").cast("double").alias("delay")
+    )
+    d = agents.join(delays, ["host", "group_id"]).where(
+        (F.col("agent") == agent) | (F.col("agent") == "*")
+    )
+    spec = d.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("_has_spec")
+    )
+    return (
+        d.join(spec, "host")
+        .where((F.col("agent") == agent).cast("int") == F.col("_has_spec"))
+        .groupBy("host")
+        .agg(F.max("delay").alias("delay_secs"))
+    )
+
+
+def crawl_delays_sql(
+    table: str,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> str:
+    """DuckDB twin of :func:`crawl_delays`."""
+    agent = agent.lower().replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT host, ls, unnest(generate_series(1, len(ls))) AS line_no
+  FROM (SELECT {host_col} AS host,
+               string_split({text_col}, chr(10)) AS ls FROM {table})
+), directives AS (
+  SELECT host, line_no,
+         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS key,
+         trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS val
+  FROM (SELECT host, line_no,
+               trim(regexp_replace(ls[line_no], '#.*$', '')) AS clean
+        FROM lines)
+  WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
+        IN ('user-agent', 'crawl-delay')
+), flagged AS (
+  SELECT *, CASE WHEN key = 'user-agent'
+        AND coalesce(lag(key) OVER (PARTITION BY host ORDER BY line_no),
+                     '') <> 'user-agent'
+     THEN 1 ELSE 0 END AS new_group
+  FROM directives
+), grouped AS (
+  SELECT *, SUM(new_group) OVER (PARTITION BY host ORDER BY line_no
+                                 ROWS UNBOUNDED PRECEDING) AS group_id
+  FROM flagged
+), d AS (
+  SELECT a.host, a.agent, dl.delay
+  FROM (SELECT host, group_id, lower(val) AS agent
+        FROM grouped WHERE key = 'user-agent') a
+  JOIN (SELECT host, group_id, CAST(val AS DOUBLE) AS delay
+        FROM grouped WHERE key = 'crawl-delay'
+          AND regexp_matches(val, '^[0-9]+(\\.[0-9]+)?$')) dl
+  USING (host, group_id)
+  WHERE a.agent = '{agent}' OR a.agent = '*'
+), spec AS (
+  SELECT host, MAX(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
+           AS has_spec
+  FROM d GROUP BY host
+)
+SELECT d.host, MAX(d.delay) AS delay_secs
+FROM d JOIN spec USING (host)
+WHERE CASE WHEN d.agent = '{agent}' THEN 1 ELSE 0 END = spec.has_spec
+GROUP BY d.host"""

@@ -129,3 +129,39 @@ def test_duckdb_twins_byte_identical(spark):
     )
     # NULLs sort differently across engines; compare as sets of tuples
     assert set(got) == set(want) and len(got) == len(want)
+
+
+def test_robots_sitemaps_group_independent(spark):
+    from pdf_parser_spark.sources.robots import robots_sitemaps
+
+    df = spark.createDataFrame(
+        [("a.com", "User-agent: x\nSitemap: https://a.com/sm.xml\n"
+                   "sitemap: https://a.com/sm.xml # dup+case\n"),
+         ("b.com", "Sitemap: https://b.com/s1.xml\nDisallow: /\n"),
+         ("c.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    got = sorted(tuple(r) for r in robots_sitemaps(df).collect())
+    assert got == [("a.com", "https://a.com/sm.xml"),
+                   ("b.com", "https://b.com/s1.xml")]
+
+
+def test_crawl_delays_shadowing_and_validation(spark):
+    from pdf_parser_spark.sources.robots import crawl_delays
+
+    df = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 10\n\n"
+                   "User-agent: fancybot\nCrawl-delay: 2\n"),
+         ("b.com", "User-agent: *\nCrawl-delay: abc\n"),   # non-numeric
+         ("c.com", "User-agent: other\nCrawl-delay: 7\n"),  # no group
+         ("d.com", "User-agent: *\nCrawl-delay: 1\n"
+                   "User-agent: *\nCrawl-delay: 4\n")],     # max wins
+        "host string, robots_txt string",
+    )
+    star = {r.host: r.delay_secs for r in crawl_delays(df).collect()}
+    fb = {r.host: r.delay_secs
+          for r in crawl_delays(df, agent="fancybot").collect()}
+    assert star == {"a.com": 10.0, "d.com": 4.0}
+    # the specific agent's group shadows '*' entirely
+    assert fb["a.com"] == 2.0 and fb["d.com"] == 4.0
+    assert "b.com" not in star and "c.com" not in star
