@@ -3215,6 +3215,18 @@ def _q_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keyed canonical selection (operators/dedup.py): each
+    near-dup cluster keeps its highest-score member (ties → lowest
+    id) — the rule real pipelines want when duplicates differ in
+    quality; score here = n_chars as the fixture's quality proxy."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(docs)
+    return dedup.keep_best(
+        docs.select("doc_id", "lang", "n_chars"), pairs, "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is GRADE-BEARING: the driver's correctness gate
     records the FIRST 50 entries only. Verification ledger so far:
@@ -3327,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "contamination": _q_contamination,
         "keep_canonical": _q_keep_canonical,
+        "keep_best": _q_keep_best,
         "mix_corpus": _q_mix_corpus,
         "domain_stats": _q_domain_stats,
         "blocked_domains": _q_blocked_domains,
@@ -4264,6 +4277,10 @@ def oracle_sql() -> dict[str, str]:
             f"{ts.pii_counts_sql('t')['ipv4s']} AS ipv4s, "
             f"{ts.pii_counts_sql('t')['ssn_like']} AS ssn_like, "
             f"length({ts.pii_redact_sql('t')}) AS redacted_len FROM inj"
+        ),
+        "keep_best": dedup.keep_best_sql(
+            "documents", _minhash_lsh_sql(), "n_chars",
+            columns="doc_id, lang, n_chars",
         ),
         "keep_canonical": dedup.keep_canonical_sql(
             "documents", _minhash_lsh_sql(),

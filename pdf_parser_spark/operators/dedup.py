@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import persisted
@@ -902,6 +902,58 @@ def keep_canonical_sql(docs_table: str, pairs_sql: str,
 SELECT {columns} FROM {docs_table}
 WHERE {id_col} NOT IN (
   SELECT doc_id FROM ({clusters}) WHERE cluster_id != doc_id
+)
+"""
+
+
+def keep_best(docs: DataFrame, pairs: DataFrame, score_col: str,
+              id_col: str = "doc_id") -> DataFrame:
+    """Quality-keyed canonical selection: like :func:`keep_canonical`
+    but each near-dup cluster keeps its HIGHEST-``score_col`` member
+    (ties → lowest id) instead of the lowest id — the rule real
+    pipelines want when near-duplicates differ in quality (the
+    boilerplate-wrapped syndication copy loses to the clean
+    original; compose the score from gopher_gate / quality_classifier
+    / lm perplexity).
+
+    Plan shape matches keep_canonical: clusters over ids only; the
+    per-cluster argmax is a window over CLUSTER MEMBERS only (the
+    tiny labels relation joined to an (id, score) projection — texts
+    never enter); the final step is ONE id-only anti-join against
+    the losers. NULL scores rank last on both engines (explicit
+    NULLS LAST — Spark and DuckDB default differently on ASC)."""
+    labels = dedup_clusters(pairs)
+    scored = labels.join(
+        docs.select(F.col(id_col), F.col(score_col).alias("_score")),
+        id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("_score"), F.asc(id_col)
+    )
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def keep_best_sql(docs_table: str, pairs_sql: str, score_col: str,
+                  id_col: str = "doc_id", columns: str = "*") -> str:
+    """DuckDB twin of :func:`keep_best`."""
+    clusters = dedup_clusters_sql(pairs_sql)
+    return f"""
+SELECT {columns} FROM {docs_table}
+WHERE {id_col} NOT IN (
+  SELECT {id_col} FROM (
+    SELECT c.{id_col},
+           row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.{score_col} DESC NULLS LAST, c.{id_col} ASC
+           ) AS rn
+    FROM ({clusters}) c
+    JOIN {docs_table} d USING ({id_col})
+  ) WHERE rn > 1
 )
 """
 

@@ -93,3 +93,24 @@ def test_ppr_locality_and_validation(spark):
         pagerank_personalized(df, [])
     with pytest.raises(ValueError):
         pagerank_personalized(df, ["not-in-graph"])
+
+
+def test_keep_best_prefers_quality_over_id(spark):
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 99.0), (4, 5.0), (9, 1.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )  # cluster {1,2,3}; 4 and 9 unpaired
+    kept = sorted(
+        r.doc_id
+        for r in dedup.keep_best(docs, pairs, "score").collect()
+    )
+    # highest score wins, tie (2 vs 3) broken by lowest id; unpaired
+    # docs always survive — keep_canonical would have kept 1 instead
+    assert kept == [2, 4, 9]
+    canon = sorted(
+        r.doc_id for r in dedup.keep_canonical(docs, pairs).collect()
+    )
+    assert canon == [1, 4, 9]
