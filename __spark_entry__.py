@@ -3059,6 +3059,22 @@ def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-proportional crawl budgets (jobs/frontier.py) over the
+    domain-rank scores — beta=0.5 flattens the head (temperature
+    rationale); integer micro-weight arithmetic end-to-end so no
+    float sum can flip a floor cross-engine."""
+    from pdf_parser_spark.jobs import frontier as fr
+
+    e = _docs(spark, sf_dir).selectExpr(
+        f"{_DOM_SRC_SQL} AS src", f"{_DOM_DST_SQL} AS dst"
+    )
+    ranks = gr.pagerank(
+        gr.domain_edges(e), weight_col="w", dedup=False, iters=3
+    )
+    return fr.crawl_budgets(ranks, 100_000, beta=0.5)
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced multilingual resampling (XLM alpha=0.5,
     Lample & Conneau 2019; operators/sampling.py): head languages
@@ -3318,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_children": _q_sitemap_children,
         "ahash_neardup": _q_ahash_neardup,
         "domain_rank": _q_domain_rank,
+        "crawl_budgets": _q_crawl_budgets,
         "ngram_overlap": _q_ngram_overlap,
         "edit_verify": _q_edit_verify,
         "pagerank_seeded": _q_pagerank_seeded,
@@ -4248,6 +4265,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_seeded": gr.pagerank_personalized_sql(
             _edges_fixture_sql(), _PPR_SEEDS, iters=3
+        ),
+        "crawl_budgets": _frontier.crawl_budgets_sql(
+            gr.pagerank_sql(
+                gr.domain_edges_sql(
+                    f"SELECT {_DOM_SRC_SQL} AS src, {_DOM_DST_SQL} AS dst"
+                    " FROM documents"
+                ),
+                iters=3, weight_col="w",
+            ),
+            100_000, beta=0.5,
         ),
         "domain_rank": gr.pagerank_sql(
             gr.domain_edges_sql(

@@ -112,3 +112,89 @@ FROM (
 )
 {limit}
 """
+
+
+def crawl_budgets(
+    ranks: DataFrame,
+    total_budget: int,
+    beta: float = 1.0,
+    min_pages: int = 1,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-proportional per-domain crawl budgets: (id, budget) with
+    budget_i = max(min_pages, floor(total · w_i / Σw)), w = rank^beta
+    — how a crawl actually spends its page budget across domains
+    once `domain_rank` has scored them (beta<1 flattens the head,
+    the temperature_mix rationale; Cho & Garcia-Molina's
+    quality-driven allocation shape).
+
+    Cross-engine determinism: the 6-dp rank goes through the
+    correctly-rounded beta cases (sqrt/identity/square — same double
+    both engines), is floored into integer micro-weights, and ALL
+    remaining arithmetic (Σw, total·w/Σw) is bigint — no float sum
+    whose accumulation order could flip a floor. Floor residue stays
+    unallocated (≤ n_domains pages, deterministic). One narrow
+    aggregate + a broadcast 1-row total; map-only otherwise."""
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    if beta == 1.0:
+        wexpr = F.col(rank_col)
+    elif beta == 0.5:
+        wexpr = F.sqrt(F.col(rank_col))
+    elif beta == 2.0:
+        wexpr = F.col(rank_col) * F.col(rank_col)
+    else:
+        raise ValueError("beta must be one of 1.0, 0.5, 2.0 "
+                         "(correctly-rounded cross-engine cases)")
+    w = ranks.select(
+        F.col(id_col),
+        F.floor(wexpr * F.lit(1_000_000.0)).cast("bigint").alias("_w"),
+    )
+    tot = w.agg(F.sum("_w").alias("_tw"))  # 1 row, bigint-exact
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.greatest(
+                F.lit(min_pages).cast("bigint"),
+                # true integer division (DIV) — a float divide would
+                # lose exactness once total·w passes 2^53
+                F.expr(
+                    f"CAST({int(total_budget)} AS BIGINT) * _w DIV _tw"
+                ),
+            ).alias("budget"),
+        )
+    )
+
+
+def crawl_budgets_sql(
+    ranks_sql: str,
+    total_budget: int,
+    beta: float = 1.0,
+    min_pages: int = 1,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of :func:`crawl_budgets` (``ranks_sql`` produces
+    (id, rank))."""
+    if beta == 1.0:
+        wexpr = rank_col
+    elif beta == 0.5:
+        wexpr = f"sqrt({rank_col})"
+    elif beta == 2.0:
+        wexpr = f"({rank_col} * {rank_col})"
+    else:
+        raise ValueError("beta must be one of 1.0, 0.5, 2.0")
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         CAST(floor({wexpr} * 1000000.0) AS BIGINT) AS w
+  FROM ({ranks_sql})
+),
+tot AS (SELECT SUM(w) AS tw FROM w)
+SELECT {id_col},
+       greatest(CAST({min_pages} AS BIGINT),
+                (CAST({total_budget} AS BIGINT) * w)
+                  // (SELECT tw FROM tot)) AS budget
+FROM w"""

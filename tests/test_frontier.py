@@ -82,3 +82,28 @@ def test_duckdb_twin(spark, pages):
             ).fetchall()
         )
         assert got == want, limit
+
+
+def test_crawl_budgets_allocation(spark):
+    import pytest
+
+    from pdf_parser_spark.jobs.frontier import crawl_budgets
+
+    ranks = spark.createDataFrame(
+        [("a", 0.6), ("b", 0.3), ("c", 0.0999), ("d", 0.0001)],
+        "id string, rank double",
+    )
+    got = {r.id: r.budget
+           for r in crawl_budgets(ranks, 10_000).collect()}
+    # proportional, floored; tiny domains get the min_pages floor
+    assert got["a"] == 6000 and got["b"] == 3000
+    assert got["d"] == 1
+    assert sum(got.values()) <= 10_000 + len(got)  # residue bounded
+    # beta=0.5 flattens: head share shrinks, tail share grows
+    flat = {r.id: r.budget
+            for r in crawl_budgets(ranks, 10_000, beta=0.5).collect()}
+    assert flat["a"] < got["a"] and flat["c"] > got["c"]
+    with pytest.raises(ValueError):
+        crawl_budgets(ranks, 0)
+    with pytest.raises(ValueError):
+        crawl_budgets(ranks, 100, beta=0.3)
