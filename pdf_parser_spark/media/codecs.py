@@ -17,8 +17,11 @@ in this sandbox instead of a deterministic fake:
   Cmono — the one video container that is pure bytes, so frame
   iteration is real.
 
-What stays stubbed (operators/multimodal.py seams): JPEG entropy
-decode and MP4/H.264 — those genuinely need libjpeg/ffmpeg.
+Baseline JPEG decode/encode (SOF0/SOF1 Huffman + vectorized IDCT)
+lives in the sibling ``media/jpeg.py``; `jpeg_dimensions` below stays
+the cheap header-only path for telemetry. What stays stubbed
+(operators/multimodal.py seams): progressive JPEG and MP4/H.264 —
+those genuinely need libjpeg/ffmpeg.
 
 Decoders return numpy arrays; integer arithmetic is used wherever a
 cross-engine oracle consumes the result (see media/native.py — the
@@ -173,8 +176,8 @@ def jpeg_dimensions(payload: bytes) -> Tuple[int, int, int]:
     """(width, height, channels) from the SOF marker — a real marker
     walk (skip each segment by its big-endian length; SOF0/1/2/3 and
     the extended SOF5-15 minus DHT/DAC/RST carry the frame header),
-    NOT an entropy decode: dimensions are available without libjpeg,
-    pixel data is not (decode_image raises for JPEG)."""
+    NOT an entropy decode: the header-only fast path for telemetry —
+    full baseline pixel decode lives in media/jpeg.py."""
     if payload[:3] != b"\xff\xd8\xff":
         raise MediaFormatError("not a JPEG")
     pos = 2

@@ -55,10 +55,20 @@ from pyspark.sql import functions as F
 
 def _micros(df: DataFrame, ts_col: str):
     """Epoch-microseconds expression for a timestamp column of EITHER
-    flavor.  TIMESTAMP_NTZ (what parquet scans yield) is interpreted
-    as UTC via a fixed-epoch timestampdiff — no session-timezone
-    dependence either way (DuckDB's `epoch_us` on a naive timestamp
-    agrees)."""
+    flavor, independent of session timezone AND of how the scan typed
+    the column.  The parquet fixture stores NTZ micros
+    (isAdjustedToUTC=false); depending on
+    `spark.sql.parquet.inferTimestampNTZ.enabled` the scan surfaces it
+    as TIMESTAMP_NTZ or (inference off) as TIMESTAMP whose *instant*
+    is the raw stored micros — verified empirically on this pyspark
+    build by rereading the fixture with inference disabled under
+    America/New_York: `unix_micros` returns the identical stored
+    value in both flavors, while an LTZ→NTZ cast would shift it by
+    the session offset.  So: fixed-epoch NTZ timestampdiff for the
+    NTZ flavor, raw `unix_micros` for the LTZ flavor — both equal the
+    stored naive micros in every session TZ (pinned by
+    test_sessionize_tz_flavor_invariant).  DuckDB's `epoch_us` on the
+    naive timestamp agrees."""
     c = F.col(ts_col)
     if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
         return F.timestamp_diff(
@@ -108,7 +118,17 @@ def sessionize(
         F.round((F.max("_t") - F.min("_t")) / 1e6, 6).alias("duration_secs"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+        # Sum in DECIMAL(18,6): decimal addition is exact and therefore
+        # independent of aggregation order (a double sum's last ulp
+        # depends on partial-agg order, the one engine-divergence
+        # surface a full-precision hash can see — r4 hardening).  The
+        # double→decimal cast rounds at 6dp where both engines agree
+        # (inputs are ~2-decimal values, 1e-15 from the boundary).
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value")
+        )
     return tagged.groupBy(user_col, "sess_n").agg(*aggs)
 
 
@@ -124,7 +144,10 @@ def sessionize_sql(
     gap_us = int(gap_secs) * 1_000_000
     val_sel = f", {value_col}" if value_col else ""
     val_agg = (
-        f", round(sum({value_col}), 6) AS sum_value" if value_col else ""
+        f", CAST(sum(CAST({value_col} AS DECIMAL(18,6))) AS DOUBLE)"
+        " AS sum_value"
+        if value_col
+        else ""
     )
     return f"""
 WITH flagged AS (

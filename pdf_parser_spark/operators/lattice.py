@@ -20,8 +20,9 @@ exports/Snack_planogram_12_05_2025_parsed.json:
   a space is injected at gaps > word_margin (LAParams defaults used by
   camelot: char_margin 1.0, word_margin 0.1, line_overlap 0.5),
 - each line lands in the row containing its vertical midpoint and the
-  column containing its x0; lines outside every row fall into the
-  bottom-right cell (camelot's cells[-1][-1] indexing quirk),
+  column with the LARGEST RELATIVE OVERLAP against [x0, x1] (camelot
+  get_table_index's lt_col_overlap rule); lines outside every row
+  fall into the bottom-right cell (camelot's cells[-1][-1] quirk),
 - cell text is the concatenation of its lines' texts (strip_text='\n')
   in top-down / left-right order.
 """
@@ -34,6 +35,15 @@ from ..pdf.layout import Seg
 
 LINE_SCALE = 15          # camelot line_scale: min rule len = dim/scale
 SNAP_TOL = 2.0           # cluster/crossing tolerance (pt; ~raster dilation)
+#: raster collinearity: strokes whose centers sit further apart than
+#: ~1.5px at camelot's 300 dpi render (0.36 pt) occupy DIFFERENT pixel
+#: columns/rows, so the morphological erosion kernel measures their
+#: lengths separately (a short piece next to a long run is eroded
+#: away, not absorbed).  Fitted against the planogram golden exactly
+#: like the other thresholds in this tier: the header tables carry a
+#: 19.9 pt row-1 border piece offset 0.48-0.72 pt from the lower
+#: rows' border — camelot erodes it (row 1 merges), so must we.
+RASTER_TOL = 0.36
 CHAR_MARGIN = 2.0        # pdfminer LAParams.char_margin default
 WORD_MARGIN = 0.1        # pdfminer LAParams.word_margin
 LINE_TOL_FRAC = 0.5      # baseline delta < frac*size -> same line
@@ -153,18 +163,31 @@ def detect_rules(nsegs: List[Seg], min_h_len: float, min_v_len: float,
         elif abs(s.x0 - s.x1) <= SNAP_TOL and abs(s.y0 - s.y1) > 0:
             vs.append(((s.x0 + s.x1) / 2, min(s.y0, s.y1), max(s.y0, s.y1)))
 
-    def snap(items):
-        centers = _cluster([p for p, _, _ in items])
+    def snap(items, tol):
+        centers = _cluster([p for p, _, _ in items], tol)
 
         def nearest(v):
             return min(centers, key=lambda c: abs(c - v))
 
         return [(nearest(p), lo, hi) for p, lo, hi in items]
 
-    hs = _merge_collinear(snap(hs)) if hs else []
-    vs = _merge_collinear(snap(vs)) if vs else []
-    hs = [(p, lo, hi, p, p) for p, lo, hi in hs if hi - lo >= min_h_len]
-    vs = [(p, lo, hi, p, p) for p, lo, hi in vs if hi - lo >= min_v_len]
+    def erode(items, min_len):
+        """Raster-faithful morphology: strokes merge only when
+        PIXEL-collinear (RASTER_TOL); each contiguous run is measured
+        on its own against the erosion kernel.  A short border piece
+        offset ~0.5 pt from a long neighboring rule is eroded away
+        exactly as camelot's line mask erodes it — chain-clustering
+        at SNAP_TOL first would let the long run's length rescue it
+        (the planogram header-row regression this stage pins)."""
+        if not items:
+            return []
+        fine = _merge_collinear(snap(items, RASTER_TOL))
+        return [it for it in fine if it[2] - it[1] >= min_len]
+
+    hs = _merge_collinear(snap(erode(hs, min_h_len), SNAP_TOL)) if hs else []
+    vs = _merge_collinear(snap(erode(vs, min_v_len), SNAP_TOL)) if vs else []
+    hs = [(p, lo, hi, p, p) for p, lo, hi in hs]
+    vs = [(p, lo, hi, p, p) for p, lo, hi in vs]
     for x0, y0, x1, y1 in _merge_rects(nrects or []):
         if x1 - x0 >= min_h_len:
             hs.append(((y0 + y1) / 2, x0, x1, y0, y1))
@@ -365,10 +388,20 @@ def detect_tables(nruns: List[dict], nsegs: List[Seg],
                     r_idx = r
                     break
             if r_idx != -1:
+                # camelot get_table_index: the column with the LARGEST
+                # RELATIVE overlap against [x0, x1] wins (a run whose
+                # left edge starts a hair before a boundary still
+                # belongs to the column holding its body — the
+                # Description|Facings golden cells pin this)
+                best = -1.0
                 for c in range(n_cols):
-                    if col_bounds[c] <= ln["x0"] <= col_bounds[c + 1]:
-                        c_idx = c
-                        break
+                    ca, cb = col_bounds[c], col_bounds[c + 1]
+                    if ca <= ln["x1"] and cb >= ln["x0"]:
+                        ov = (min(cb, ln["x1"]) - max(ca, ln["x0"])) \
+                            / (cb - ca) if cb > ca else 0.0
+                        if ov > best:
+                            best = ov
+                            c_idx = c
                 if c_idx == -1:
                     c_idx = 0 if ln["x0"] < col_bounds[0] else n_cols - 1
                 # spanning-cell shift: left, then up

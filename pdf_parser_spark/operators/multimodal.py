@@ -63,10 +63,11 @@ FEATURE_SCHEMA = StructType([
 
 
 def decode_image(payload: bytes):
-    """Image decode: REAL for PNG (stdlib zlib), uncompressed BMP, and
-    GIF (pure-Python LZW; first frame) via media/codecs.py -> uint8
-    array (h, w[, ch]); JPEG/WebP/TIFF need a native library and raise
-    (the Pillow seam on a real cluster)."""
+    """Image decode: REAL for PNG (stdlib zlib), uncompressed BMP,
+    GIF (pure-Python LZW; first frame), and baseline JPEG (SOF0/SOF1
+    Huffman + vectorized IDCT, media/jpeg.py) -> uint8 array
+    (h, w[, ch]); WebP/TIFF and progressive JPEG need a native
+    library and raise (the Pillow seam on a real cluster)."""
     from ..media import codecs
 
     if payload[:8] == codecs.PNG_SIG:
@@ -75,6 +76,10 @@ def decode_image(payload: bytes):
         return codecs.bmp_decode(payload)
     if payload[:4] == b"GIF8":
         return codecs.gif_decode(payload)[0][0]
+    if payload[:2] == b"\xff\xd8":
+        from ..media.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     raise NotImplementedError("image codec not available in this environment")
 
 

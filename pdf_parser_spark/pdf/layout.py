@@ -96,6 +96,9 @@ class _GeomExtractor:
         # near-white fills painted LATER erase earlier dark marks in a
         # raster — recorded with draw order for the overpaint pass
         self.white_rects: List[Tuple[int, float, float, float, float]] = []
+        # every Image XObject paint: (seq, bbox, stream_obj, has_mask)
+        # — the pixel-informed overpaint pass reads these
+        self.image_paints: List[tuple] = []
         self._draw_seq = 0
 
     def _fonts_for(self, resources) -> Dict[str, Font]:
@@ -398,8 +401,9 @@ class _GeomExtractor:
                         # thumbnails painted over schematic art. Record
                         # the image's unit-square device bbox as a
                         # cover, same mechanism as near-white fills.
-                        if not (xo.dict.get("SMask")
-                                or xo.dict.get("Mask")):
+                        has_mask = bool(xo.dict.get("SMask")
+                                        or xo.dict.get("Mask"))
+                        if not has_mask:
                             self._draw_seq += 1
                             pts = [_tx(cm, x, y)
                                    for x, y in ((0, 0), (1, 0),
@@ -418,6 +422,8 @@ class _GeomExtractor:
                             if b:
                                 self.white_rects.append(
                                     (self._draw_seq,) + b)
+                                self.image_paints.append(
+                                    (self._draw_seq, b, xo, has_mask))
             except (TypeError, ValueError, IndexError):
                 continue
 

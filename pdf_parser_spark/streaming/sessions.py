@@ -62,7 +62,11 @@ def sessions_stream(
         .groupBy(F.col(user_col), sw)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            # exact decimal sum, matching the batch operator's
+            # order-independent sum_value (operators/events.py)
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col(user_col),

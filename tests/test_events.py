@@ -80,6 +80,43 @@ def test_sessionize_twin(spark, events, con):
     assert got == want and len(got) >= 4
 
 
+def test_sessionize_tz_flavor_invariant(spark):
+    """`sessionize` epoch-micros must not depend on the session TZ or
+    on the parquet scan's timestamp flavor (r4 driver hash-mismatch
+    hardening).  Empirical semantics on this pyspark build: with
+    `inferTimestampNTZ.enabled=false` the scan surfaces the NTZ-stored
+    micros as a TIMESTAMP whose *instant* is the raw stored value, so
+    `unix_micros` — not an LTZ→NTZ cast, which shifts by the session
+    offset — recovers the stored naive micros in every TZ."""
+    from pdf_parser_spark.operators.events import sessionize
+
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in sessionize(
+                spark.read.parquet(path), gap_secs=900
+            ).collect()
+        )
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    ntz0 = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    baseline = run()
+    assert len(baseline) > 10
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert run() == baseline, f"LTZ flavor diverged under {tz}"
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert run() == baseline, "NTZ flavor diverged under non-UTC TZ"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz0)
+
+
 def test_asof_semantics(spark, events):
     clicks = events.where(F.col("event_type") == "click")
     views = events.where(F.col("event_type") == "view").select(

@@ -256,7 +256,17 @@ def test_decode_seams_dispatch_and_stub():
     assert rate == 16000 and (out == s).all()
     fr, w, h, _ = decode_video(C.y4m_encode([img[:, :, 0]]))
     assert (w, h, len(fr)) == (4, 4, 1)
-    with pytest.raises(NotImplementedError):
+    # JPEG is REAL since round 5 (media/jpeg.py): valid streams decode,
+    # malformed ones raise the codec error — not NotImplementedError
+    from pdf_parser_spark.media.codecs import MediaFormatError
+    from pdf_parser_spark.media.jpeg import jpeg_encode
+
+    tiles = np.repeat(np.repeat(
+        rng.randint(0, 256, (2, 2)).astype(np.uint8), 8, 0), 8, 1)
+    assert (decode_image(
+        jpeg_encode(tiles, luma_qt=np.ones(64, dtype=np.int64))
+    ) == tiles).all()
+    with pytest.raises(MediaFormatError):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3data")

@@ -6,29 +6,36 @@ The golden corresponds to the raw camelot stage (its rows include
 all-empty rows that the current reference quality filter would drop),
 so the parity comparison runs with apply_filter=False.
 
-Known deviations (root-caused round 2; see operators/lattice.py and
-pdf/layout.py): pages 2/6 carry planogram art. The round-1 mystery
-("extra art rows/cols camelot somehow dropped") is SOLVED — the art's
-internal shelf rules are painted under W/W* CLIP regions and opaque
-product-image XObjects; honoring clips (axis-aligned) and image
-overpaint in the geometry extractor removes them exactly as the
-raster does, and the art mega-cell text now matches the golden
-byte-for-byte. What remains is camelot-raster-only, and the round-3
-measurement FALSIFIES the remaining candidate hypothesis (bbox
-dilation — VERDICT r2 #6): the emitted full-page region's joint
-clusters and bbox are numerically IDENTICAL across pages 1/2/6
-(row bounds [20.7, 39.9, 59.0, 78.0, 96.4, 114.4-114.7, 591.5],
-col bounds [21.4, 268.3-269.8, 519.6, 770.6]; every edge-to-joint
-delta 1.00-1.12 pt), yet the golden is (6,3) on page 1 and (7,4) on
-pages 2/6 — so NO dilation margin on the region bbox, uniform or
-per-side, separates the pages (test_dilation_margin_falsified pins
-the identity). The differentiator has to be pixel content inside the
-region — which art rules the product images' actual pixels (alpha
-masks, edge darkness) cover in the raster — invisible to any vector
-model without decoding the images. Plus (b) one row-1 cell-border
-difference on the art header. Hence a >= 0.95 cellwise threshold
-(measured 1636/1658 = 98.7%) rather than equality, with exact-shape
-assertions on the five structurally clean pages.
+Known deviations (root-caused rounds 2-5; see operators/lattice.py
+and pdf/layout.py): pages 2/6 carry planogram art. The round-1
+mystery ("extra art rows/cols camelot somehow dropped") is SOLVED —
+the art's internal shelf rules are painted under W/W* CLIP regions
+and opaque product-image XObjects; honoring clips (axis-aligned) and
+image overpaint in the geometry extractor removes them exactly as
+the raster does, and the art mega-cell text matches the golden
+byte-for-byte. Round 5 closed the two header families (20 of the 22
+residue cells): (a) the row-1 LAYOUT|SEGMENT border piece is offset
+0.48-0.72 pt from the lower rows' border, so camelot's erosion
+kernel measures its 19.9 pt length alone and drops it — emulated by
+the RASTER_TOL collinearity stage in detect_rules; (b) text-to-
+column assignment follows camelot get_table_index's largest-
+relative-overlap rule, not x0 (the Description|Facings cells).
+
+What remains (2 cells + the pages-2/6 shapes, golden (7,4) vs our
+(6,3)): one phantom all-empty column and row per art page. The
+round-3 measurement FALSIFIED bbox dilation (grid geometry identical
+across pages 1/2/6, test_dilation_margin_falsified pins it); the
+round-5 raster emulation (tools/raster_probe.py: draw-ordered
+render, camelot's inverted-gray adaptive threshold, dim/15
+morphological opening) CONFIRMS the mechanism — the product images'
+pixel CONTENT contributes edge lines under adaptive thresholding,
+and on pages 2/6 those edges align into the extra bounds — but the
+exact surviving line positions depend on ghostscript's smooth JPEG
+scaling, which a nearest-neighbor emulation reproduces only to
+within a few px (the probe finds the mechanism's lines plus
+doubled-edge artifacts the real raster merges). Hence a >= 0.99
+cellwise threshold (measured 1656/1658 = 99.88%) rather than
+equality, with exact-shape assertions on the five clean pages.
 """
 
 import json
@@ -97,7 +104,9 @@ def test_cellwise_parity(ours, golden):
                 total += 1
                 match += a == b
     assert total > 1500
-    assert match / total >= 0.95, f"cell parity {match}/{total}"
+    # 1656/1658 as of round 5 (only the pages-2/6 phantom empty
+    # col/row remain); regression guard at the achieved level
+    assert match / total >= 0.99, f"cell parity {match}/{total}"
 
 
 def test_headers_equal_first_row(ours):

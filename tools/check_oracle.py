@@ -26,7 +26,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # FULL precision (shortest round-trip repr distinguishes last-ulp
+        # divergence) — the driver hashes exact values, and the r4
+        # `sessionize` red shipped because the old %.9g normalization
+        # was looser than the driver's hash (VERDICT r4 "What's wrong" #2).
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
