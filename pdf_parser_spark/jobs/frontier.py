@@ -135,7 +135,15 @@ def crawl_budgets(
     remaining arithmetic (Σw, total·w/Σw) is bigint — no float sum
     whose accumulation order could flip a floor. Floor residue stays
     unallocated (≤ n_domains pages, deterministic). One narrow
-    aggregate + a broadcast 1-row total; map-only otherwise."""
+    aggregate + a broadcast 1-row total; map-only otherwise.
+
+    ``min_pages`` is a PER-DOMAIN floor, not a reallocation: when many
+    low-rank domains floor up, Σ budget_i can EXCEED ``total_budget``
+    (worst case n_domains · min_pages) — the politeness-floor
+    semantics a crawl wants; callers needing a hard global cap pass
+    ``min_pages=0`` or size the budget ≥ n · min_pages. If every
+    rank's micro-weight floors to zero (Σw = 0) the job raises
+    rather than dividing by zero."""
     if total_budget <= 0:
         raise ValueError("total_budget must be positive")
     if beta == 1.0:
@@ -152,6 +160,14 @@ def crawl_budgets(
         F.floor(wexpr * F.lit(1_000_000.0)).cast("bigint").alias("_w"),
     )
     tot = w.agg(F.sum("_w").alias("_tw"))  # 1 row, bigint-exact
+    # executor-side guard: all-zero micro-weights would otherwise be a
+    # bigint division by zero (NULL budgets) — fail loudly instead
+    tot = tot.where(
+        F.assert_true(
+            F.col("_tw") > 0,
+            F.lit("crawl_budgets: all rank micro-weights are zero"),
+        ).isNull()
+    )
     return (
         w.crossJoin(F.broadcast(tot))
         .select(

@@ -175,6 +175,19 @@ def merge_term_index(
     changed/removed keys — exactly like the incremental-curation
     path); appending a replaced id would double-count its df.
     """
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(index_path):
+        # the old postings are read LAZILY while out_path is written
+        # with mode('overwrite'): writing over the path being read
+        # either fails in Spark or destroys the old index mid-scan.
+        # The merge must land on a fresh path (swap directories after
+        # if an in-place update is wanted).
+        raise ValueError(
+            "merge_term_index: out_path must differ from index_path "
+            "(lazy read + overwrite of the same path would corrupt "
+            "the index)"
+        )
     partitions = partitions or spark.sparkContext.defaultParallelism * 2
     old_postings, old_stats = load_term_index(spark, index_path)
     toks = new_docs.select(

@@ -191,9 +191,11 @@ def le32_hex_sql(expr: str) -> str:
 
 def synth_header_hex(doc_id: Column) -> Column:
     """Per-row container header (hex string) with REAL magic + fields:
-    doc_id % 4 -> png | gif | bmp | wav. Dims/rate derive from doc_id
-    (w = 16 + id*7 % 480, h = 16 + id*13 % 360, rate = 8000 + id%8 *
-    1000, ch = 1 + id%2)."""
+    doc_id % 5 -> png | gif | bmp | wav | jpeg. Dims/rate derive from
+    doc_id (w = 16 + id*7 % 480, h = 16 + id*13 % 360, rate = 8000 +
+    id%8 * 1000, ch = 1 + id%2); the jpeg branch carries SOI + an
+    APP0/JFIF stub — telemetry sniffs the magic and reports NULL dims
+    (dimensions need the SOF marker walk, out of codegen scope)."""
     w = (F.lit(16) + F.pmod(doc_id * 7, F.lit(480))).cast("int")
     hh = (F.lit(16) + F.pmod(doc_id * 13, F.lit(360))).cast("int")
     rate = (F.lit(8000) + F.pmod(doc_id, F.lit(8)) * 1000).cast("int")
@@ -214,12 +216,14 @@ def synth_header_hex(doc_id: Column) -> Column:
         le16(ch), le32(rate), le32(rate * ch), le16(ch), F.lit("0800"),
         F.lit("64617461"),
     )
-    sel = F.pmod(doc_id, F.lit(4))
+    jpeg = F.lit(_MAGIC["jpeg"] + "E000104A46494600010100000100010000")
+    sel = F.pmod(doc_id, F.lit(5))
     return (
         F.when(sel == 0, png)
         .when(sel == 1, gif)
         .when(sel == 2, bmp)
-        .otherwise(wav)
+        .when(sel == 3, wav)
+        .otherwise(jpeg)
     )
 
 
@@ -256,11 +260,13 @@ def synth_header_hex_sql(id_expr: str) -> str:
         f"{le16(ch)} || {le32(rate)} || {le32(f'({rate} * {ch})')} || "
         f"{le16(ch)} || '0800' || '64617461')"
     )
-    return f"""CASE {i} % 4
+    jpeg = f"'{_MAGIC['jpeg']}E000104A46494600010100000100010000'"
+    return f"""CASE {i} % 5
         WHEN 0 THEN {png}
         WHEN 1 THEN {gif}
         WHEN 2 THEN {bmp}
-        ELSE {wav} END"""
+        WHEN 3 THEN {wav}
+        ELSE {jpeg} END"""
 
 
 def md5_stream_hex(seed: Column, n_bytes: int) -> Column:

@@ -814,10 +814,12 @@ def edit_verify_pairs(
     — and only candidate texts. ``max_dist`` engages Spark's banded
     levenshtein (the 3-arg form computes a |len_a − len_b| ≤ k band
     and answers -1 beyond it, turning O(n·m) into O(k·max(n,m)) per
-    pair): pass the largest distance your threshold can accept at
-    your length cap. Pairs the band rejects are dropped exactly as a
-    below-threshold similarity would be (tests pin band == plain on
-    agreeing inputs).
+    pair). A band answer of -1 equals "below threshold" only when
+    the band is at least ceil((1 − threshold)·max_len) wide for the
+    pair; when a caller's ``max_dist`` is narrower than that, the
+    exact DP runs for JUST those rows (a lazily-evaluated CASE
+    branch), so the result always equals the plain-levenshtein
+    semantics — no silently lost near-dups (round-4 advisor).
     """
     ta = docs.select(F.col(id_col).alias("id_a"),
                      F.col(text_col).alias("_ta"))
@@ -827,7 +829,16 @@ def edit_verify_pairs(
     if max_dist is None:
         lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
     else:
-        lev = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+        banded = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+        need = F.ceil(
+            F.lit(1.0 - threshold)
+            * F.greatest(F.length("_ta"), F.length("_tb"))
+        )
+        lev = (
+            F.when(banded >= 0, banded)
+            .when(F.lit(int(max_dist)) >= need, F.lit(-1))
+            .otherwise(F.levenshtein(F.col("_ta"), F.col("_tb")))
+        )
     j = j.select(
         "id_a", "id_b", lev.alias("lev"),
         F.greatest(F.length("_ta"), F.length("_tb")).alias("max_len"),

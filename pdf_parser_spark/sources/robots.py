@@ -306,12 +306,20 @@ def crawl_delays(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
     )
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    # group over ALL group-forming directive lines (user-agent, allow,
+    # disallow, crawl-delay) exactly like parse_robots: an allow/
+    # disallow line between two user-agent blocks TERMINATES the first
+    # group, so filtering to {user-agent, crawl-delay} before grouping
+    # would merge adjacent groups and leak one group's delay into
+    # another's agents (round-4 advisor repro: a specific agent
+    # inheriting '*'-group's Crawl-delay across an intervening
+    # Disallow line). Keys are filtered AFTER group_id is assigned.
     directives = lines.select(
         "host",
         "line_no",
         F.lower(F.trim(F.regexp_extract(clean, "^([^:]+):", 1))).alias("key"),
         F.trim(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias("val"),
-    ).where(F.col("key").isin("user-agent", "crawl-delay"))
+    ).where(F.col("key").isin(*DIRECTIVES, "crawl-delay"))
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = F.col("key") == "user-agent"
     grouped = (
@@ -334,16 +342,22 @@ def crawl_delays(
         "host", "group_id", F.lower(F.col("val")).alias("agent")
     )
     delays = grouped.where(
-        ~is_ua & F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        (F.col("key") == "crawl-delay")
+        & F.col("val").rlike(r"^[0-9]+(\.[0-9]+)?$")
     ).select(
         "host", "group_id", F.col("val").cast("double").alias("delay")
     )
-    d = agents.join(delays, ["host", "group_id"]).where(
+    applicable = agents.where(
         (F.col("agent") == agent) | (F.col("agent") == "*")
     )
-    spec = d.groupBy("host").agg(
+    # shadowing is decided by GROUP MEMBERSHIP, not by delay presence:
+    # when any group names the agent specifically, '*' groups are out
+    # of play even if the specific groups carry no Crawl-delay (then
+    # no row is emitted at all) — RFC 9309 §2.2.1 group selection.
+    spec = applicable.groupBy("host").agg(
         F.max((F.col("agent") == agent).cast("int")).alias("_has_spec")
     )
+    d = applicable.join(delays, ["host", "group_id"])
     return (
         d.join(spec, "host")
         .where((F.col("agent") == agent).cast("int") == F.col("_has_spec"))
@@ -373,7 +387,7 @@ WITH lines AS (
                trim(regexp_replace(ls[line_no], '#.*$', '')) AS clean
         FROM lines)
   WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
-        IN ('user-agent', 'crawl-delay')
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ), flagged AS (
   SELECT *, CASE WHEN key = 'user-agent'
         AND coalesce(lag(key) OVER (PARTITION BY host ORDER BY line_no),
@@ -384,19 +398,23 @@ WITH lines AS (
   SELECT *, SUM(new_group) OVER (PARTITION BY host ORDER BY line_no
                                  ROWS UNBOUNDED PRECEDING) AS group_id
   FROM flagged
+), applicable AS (
+  SELECT host, group_id, lower(val) AS agent
+  FROM grouped WHERE key = 'user-agent'
+    AND (lower(val) = '{agent}' OR lower(val) = '*')
+), spec AS (
+  -- group MEMBERSHIP decides shadowing (a specific group with no
+  -- delay still silences '*'), matching the Spark operator
+  SELECT host, MAX(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
+           AS has_spec
+  FROM applicable GROUP BY host
 ), d AS (
   SELECT a.host, a.agent, dl.delay
-  FROM (SELECT host, group_id, lower(val) AS agent
-        FROM grouped WHERE key = 'user-agent') a
+  FROM applicable a
   JOIN (SELECT host, group_id, CAST(val AS DOUBLE) AS delay
         FROM grouped WHERE key = 'crawl-delay'
           AND regexp_matches(val, '^[0-9]+(\\.[0-9]+)?$')) dl
   USING (host, group_id)
-  WHERE a.agent = '{agent}' OR a.agent = '*'
-), spec AS (
-  SELECT host, MAX(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
-           AS has_spec
-  FROM d GROUP BY host
 )
 SELECT d.host, MAX(d.delay) AS delay_secs
 FROM d JOIN spec USING (host)

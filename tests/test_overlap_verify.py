@@ -63,20 +63,42 @@ def test_edit_verify_confirms_and_rejects(spark):
     assert abs(r.edit_sim - round(1 - 2 / 44, 6)) < 1e-9
 
 
-def test_edit_verify_band_equals_plain_where_it_answers(spark):
+def test_edit_verify_band_equals_plain_always(spark):
+    """Since the round-4 advisor fix, max_dist is purely a fast path:
+    band-rejected pairs that the threshold could still accept fall
+    back to the exact DP, so banded output == plain output for EVERY
+    max_dist, not just sufficiently wide ones."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     cands = dedup.minhash_lsh_candidates(docs)
     plain = sorted(
         tuple(r)
         for r in dedup.edit_verify_pairs(docs, cands, 0.5).collect()
     )
-    banded = sorted(
-        tuple(r)
-        for r in dedup.edit_verify_pairs(
-            docs, cands, 0.5, max_dist=200
-        ).collect()
+    for md in (200, 10):
+        banded = sorted(
+            tuple(r)
+            for r in dedup.edit_verify_pairs(
+                docs, cands, 0.5, max_dist=md
+            ).collect()
+        )
+        assert banded == plain, md
+    assert plain
+
+
+def test_edit_verify_narrow_band_recovers_near_dups(spark):
+    """A max_dist SMALLER than (1-threshold)*max_len must not lose
+    above-threshold pairs (the advisor's silent-loss scenario)."""
+    a = "x" * 100
+    b = "x" * 90 + "y" * 10                  # lev 10, sim 0.9
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
     )
-    assert banded == [p for p in plain if p[2] <= 200] and plain
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup.edit_verify_pairs(
+        docs, pairs, 0.8, max_dist=3        # band says -1; 3 < 20
+    ).collect()
+    assert len(out) == 1 and out[0].lev == 10
+    assert abs(out[0].edit_sim - 0.9) < 1e-9
 
 
 def test_ppr_locality_and_validation(spark):

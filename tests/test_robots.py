@@ -165,3 +165,39 @@ def test_crawl_delays_shadowing_and_validation(spark):
     # the specific agent's group shadows '*' entirely
     assert fb["a.com"] == 2.0 and fb["d.com"] == 4.0
     assert "b.com" not in star and "c.com" not in star
+
+
+def test_crawl_delays_rule_lines_terminate_groups(spark):
+    """Round-4 advisor repro: an allow/disallow line between two
+    user-agent blocks TERMINATES the first group (RFC 9309 §2.2.1),
+    so the specific agent must NOT inherit the following '*' group's
+    Crawl-delay — and the DuckDB twin must agree."""
+    import duckdb
+
+    from pdf_parser_spark.sources.robots import (
+        crawl_delays,
+        crawl_delays_sql,
+    )
+
+    rows = [
+        ("e.com", "User-agent: googlebot\nDisallow: /a\n\n"
+                  "User-agent: *\nCrawl-delay: 5\n"),
+        # delay inside the SAME group, after a rule line: still applies
+        ("f.com", "User-agent: googlebot\nDisallow: /a\n"
+                  "Crawl-delay: 3\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r.host: r.delay_secs
+           for r in crawl_delays(df, agent="googlebot").collect()}
+    # googlebot's own group carries no delay on e.com and is shadowed
+    # from '*', so no row; f.com's in-group delay survives
+    assert got == {"f.com": 3.0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE robots (host VARCHAR, robots_txt VARCHAR)"
+    )
+    con.executemany("INSERT INTO robots VALUES (?, ?)", rows)
+    want = dict(con.execute(
+        crawl_delays_sql("robots", agent="googlebot")
+    ).fetchall())
+    assert want == got
