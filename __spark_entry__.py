@@ -3103,6 +3103,135 @@ def _q_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ap.allpairs_cosine(docs, 0.8)
 
 
+def _q_tables_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 table→HTML render (operators/exports.py::table_html,
+    spec table_extractor.py:441-521) in the gate: per doc a table
+    dict constructed from doc_id arithmetic + letter-sanitized words
+    covers every class branch — numeric+currency, numeric+percent,
+    truthy/falsy words, >50-char wrap, default text, &<> escaping,
+    headerless auto-naming (odd ids), and the empty-rows alert
+    (id%7==0). The twin rebuilds the exact byte stream in SQL."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        *[
+            F.substring(
+                F.coalesce(
+                    F.element_at(
+                        F.regexp_extract_all(
+                            F.lower("text"), F.lit("[a-z]+"), 0
+                        ),
+                        k,
+                    ),
+                    F.lit("pad"),
+                ),
+                1,
+                10,
+            ).alias(f"w{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark.operators.exports import table_html
+
+        for b in batches:
+            out = []
+            for did, w1, w2, w3 in zip(
+                b["doc_id"], b["w1"], b["w2"], b["w3"]
+            ):
+                i = int(did)
+                if i % 7 == 0:
+                    rows = []
+                else:
+                    ws = {0: w1, 1: w2}
+                    rows = []
+                    for r in (0, 1):
+                        rows.append([
+                            "w" + ws[r],
+                            f"${(i * 3 + r) % 1000}.25",
+                            f"{(i * 7 + r) % 100}%",
+                            ["yes", "no", "true", "maybe"][(i + r) % 4],
+                            "ab" * 30 if r == 0 else "w" + w3,
+                            "<" + w1 + "&",
+                        ])
+                headers = (
+                    ["A", "B", "C", "D", "E", "F"] if i % 2 == 0 else []
+                )
+                out.append({
+                    "doc_id": i,
+                    "html": table_html(
+                        {"headers": headers, "rows": rows}
+                    ),
+                })
+            yield pd.DataFrame(out, columns=["doc_id", "html"])
+
+    return d.mapInPandas(run, "doc_id long, html string")
+
+
+def _tables_html_sql() -> str:
+    """DuckDB twin of :func:`_q_tables_html`: the whole HTML byte
+    stream rebuilt by SQL concatenation (classes are statically known
+    per constructed cell)."""
+    w = (
+        "substr(coalesce(list_extract(regexp_extract_all(lower(text),"
+        " '[a-z]+'), {k}), 'pad'), 1, 10)"
+    )
+    w1, w2, w3 = (w.format(k=k) for k in (1, 2, 3))
+
+    def row(r):
+        wcell = "w1" if r == 0 else "w2"
+        c4 = (
+            "'<td class=\"text-wrap\">' || repeat('ab', 30) || '</td>'"
+            if r == 0
+            else "'<td class=\"text-start\">w' || w3 || '</td>'"
+        )
+        return (
+            f"'<tr class=\"{'table-light' if r == 0 else ''}\">'"
+            f" || '<td class=\"text-start\">w' || {wcell} || '</td>'"
+            " || '<td class=\"text-end fw-semibold text-success\">$'"
+            f" || ((doc_id * 3 + {r}) % 1000)::VARCHAR || '.25</td>'"
+            " || '<td class=\"text-end fw-semibold text-info\">'"
+            f" || ((doc_id * 7 + {r}) % 100)::VARCHAR || '%</td>'"
+            f" || CASE (doc_id + {r}) % 4"
+            " WHEN 0 THEN '<td class=\"text-success fw-semibold\">yes</td>'"
+            " WHEN 1 THEN '<td class=\"text-danger fw-semibold\">no</td>'"
+            " WHEN 2 THEN '<td class=\"text-success fw-semibold\">true</td>'"
+            " ELSE '<td class=\"text-start\">maybe</td>' END"
+            f" || {c4}"
+            " || '<td class=\"text-start\">&lt;' || w1 || '&amp;</td>'"
+            " || '</tr>'"
+        )
+
+    th_named = "".join(
+        f"<th class=\"text-center fw-bold\">{h}</th>"
+        for h in "ABCDEF"
+    )
+    th_auto = "".join(
+        f"<th class=\"text-center fw-bold\">Column {k}</th>"
+        for k in range(1, 7)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {w1} AS w1, {w2} AS w2, {w3} AS w3 FROM documents
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN
+    '<div class="alert alert-warning">No data available for this table</div>'
+  ELSE
+    '<div class="table-responsive">'
+    || '<table class="table table-bordered table-hover table-striped table-sm">'
+    || '<thead class="table-dark"><tr>'
+    || CASE WHEN doc_id % 2 = 0 THEN '{th_named}' ELSE '{th_auto}' END
+    || '</tr></thead>'
+    || '<tbody>'
+    || {row(0)}
+    || {row(1)}
+    || '</tbody></table></div>'
+  END AS html
+FROM ws
+"""
+
+
 _DOM_SRC_SQL = (
     "concat('https://sub', CAST(doc_id % 3 AS STRING), '.d', "
     "CAST(doc_id % 4 AS STRING), '.com/p', CAST(doc_id AS STRING))"
@@ -3433,6 +3562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "pagerank": _q_pagerank,
         "dup_spans": _q_dup_spans,
+        # --- round-5 addition: X7 render (parity-tested vs the
+        # --- RUNNING reference get_table_html; local mirror only) ---
+        "tables_html": _q_tables_html,
         # --- representative core of the driver-checked families ---
         "extract_html_docs": _q_extract_html,
         "extract_pdf_docs": _q_extract_pdf,
@@ -4397,6 +4529,7 @@ def oracle_sql() -> dict[str, str]:
             columns="doc_id, lang, n_chars",
         ),
         "dup_spans": sp.dup_spans_sql("documents", n=8),
+        "tables_html": _tables_html_sql(),
         "dup_span_stats": sp.dup_span_stats_sql("documents", n=8),
         "winnow_fp": wn.winnow_fingerprints_sql("documents"),
         "winnow_pairs": wn.winnow_pairs_sql(

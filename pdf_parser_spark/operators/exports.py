@@ -548,3 +548,82 @@ def header_like_ratio_col(rows_col: str = "rows"):
     n = F.size(rows)
     n_headerish = F.size(F.filter(rows, row_is_headerish))
     return F.when(n > 0, n_headerish / n).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------------ X7
+
+_HTML_TRUE_WORDS = ("yes", "true", "active", "enabled", "pass")
+_HTML_FALSE_WORDS = ("no", "false", "inactive", "disabled", "fail")
+
+
+def table_html(table: dict) -> str:
+    """X7 table→HTML render (spec: table_extractor.py:441-521,
+    `get_table_html`), faithful re-expression with the reference's
+    quirks preserved:
+
+    - empty ``rows`` short-circuits to the warning alert BEFORE any
+      header handling;
+    - missing headers auto-name as 'Column i+1' from row 0's width;
+    - per-cell class is decided on the UNESCAPED text: Python
+      ``float()`` over the text with ','/'$'/'%' stripped decides
+      numeric (so 'nan'/'infinity' classify numeric), '$' beats '%'
+      on the ORIGINAL cell, truthy/falsy word lists, the >50-char
+      text-wrap tier, 'text-start' default;
+    - only &<> are escaped, AFTER classification;
+    - rows alternate 'table-light'/'' starting light.
+
+    Presentation-only in the reference (Flask display route); here it
+    doubles as a sink format — `tables_html` in the gate renders the
+    dict through this exact function on executors."""
+    headers = table.get("headers", [])
+    rows = table.get("rows", [])
+    if not rows:
+        return ('<div class="alert alert-warning">'
+                "No data available for this table</div>")
+    out = [
+        '<div class="table-responsive">',
+        '<table class="table table-bordered table-hover '
+        'table-striped table-sm">',
+    ]
+    if not headers:
+        headers = [f"Column {i + 1}" for i in range(len(rows[0]))]
+    if headers:
+        out.append('<thead class="table-dark">')
+        out.append("<tr>")
+        for h in headers:
+            ht = str(h).strip() or "Column"
+            out.append(f'<th class="text-center fw-bold">{ht}</th>')
+        out.append("</tr>")
+        out.append("</thead>")
+    out.append("<tbody>")
+    for i, row in enumerate(rows):
+        row_class = "table-light" if i % 2 == 0 else ""
+        out.append(f'<tr class="{row_class}">')
+        for cell in row:
+            cell_text = str(cell).strip() if cell is not None else ""
+            try:
+                float(cell_text.replace(",", "").replace("$", "")
+                      .replace("%", ""))
+                cell_class = "text-end fw-semibold"
+                if "$" in str(cell):
+                    cell_class += " text-success"
+                elif "%" in str(cell):
+                    cell_class += " text-info"
+            except (ValueError, TypeError):
+                low = cell_text.lower()
+                if low in _HTML_TRUE_WORDS:
+                    cell_class = "text-success fw-semibold"
+                elif low in _HTML_FALSE_WORDS:
+                    cell_class = "text-danger fw-semibold"
+                elif len(cell_text) > 50:
+                    cell_class = "text-wrap"
+                else:
+                    cell_class = "text-start"
+            cell_text = (cell_text.replace("&", "&amp;")
+                         .replace("<", "&lt;").replace(">", "&gt;"))
+            out.append(f'<td class="{cell_class}">{cell_text}</td>')
+        out.append("</tr>")
+    out.append("</tbody>")
+    out.append("</table>")
+    out.append("</div>")
+    return "".join(out)

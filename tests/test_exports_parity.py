@@ -279,3 +279,72 @@ def test_e1_raw_csv_matches_reference(tmp_path):
     for p in paths:
         with open(p, newline="", encoding="utf-8") as f:
             assert f.read() == ours[os.path.basename(p)], p
+
+
+# ------------------------------------------------------------------ X7
+
+
+@pytest.fixture(scope="module")
+def ref_table_html():
+    """The reference's get_table_html run as a standalone behavioral
+    oracle. table_extractor.py imports PIL/camelot at module scope
+    (absent here), so the method is AST-extracted from the class and
+    exec'd with only the stdlib it actually touches — still the
+    reference's OWN code running, never a copy."""
+    import ast
+
+    src = open(os.path.join(REF_SRC, "table_extractor.py")).read()
+    tree = ast.parse(src)
+    fn = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and \
+                node.name == "get_table_html":
+            fn = node
+            break
+    assert fn is not None
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"Dict": dict}
+    exec(compile(ast.fix_missing_locations(mod),
+                 "table_extractor.py", "exec"), ns)
+    return lambda table: ns["get_table_html"](None, table)
+
+
+X7_TABLES = [
+    # full planogram-style table with every class branch
+    {"headers": ["A", "B", ""], "rows": [
+        ["plain", "$1,234.50", "45%"],
+        ["yes", "no", "TRUE"],
+        ["Active", "fail", "x" * 60],
+        ["<b>&amp;", "nan", "infinity"],
+        ["", None, "-3.5e2"],
+        ["1_000", "inf", "  padded  "],
+    ]},
+    # headerless: Column i+1 autonaming
+    {"headers": [], "rows": [["a", "12"], ["b", "$9"]]},
+    # empty rows: alert branch (headers ignored)
+    {"headers": ["X"], "rows": []},
+    # blank header promotes to 'Column'
+    {"headers": ["  ", "ok"], "rows": [["1", "2"]]},
+]
+
+
+def test_x7_table_html_matches_reference(ref_table_html):
+    from pdf_parser_spark.operators.exports import table_html
+
+    for i, t in enumerate(X7_TABLES):
+        assert table_html(t) == ref_table_html(t), i
+
+
+def test_x7_table_html_matches_reference_on_planogram(ref_table_html):
+    """Byte parity over every REAL extracted planogram table."""
+    from pdf_parser_spark.operators.exports import table_html
+    from pdf_parser_spark.operators.tables import extract_tables
+
+    pdf = open("/root/reference/Snack_planogram_12_05_2025.pdf",
+               "rb").read()
+    tables = extract_tables(pdf, apply_filter=False)
+    assert len(tables) == 7
+    for t in tables:
+        ours = table_html({"headers": t["headers"], "rows": t["rows"]})
+        ref = ref_table_html({"headers": t["headers"], "rows": t["rows"]})
+        assert ours == ref and ours.startswith('<div class="table-resp')

@@ -70,10 +70,10 @@ def build_sf1(spark, out_dir):
         big_docs = big_docs.unionByName(p)
     big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    n_emb = emb.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     eparts = []
     for k in range(COPIES):
-        c = emb.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_emb))
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
         if k:
             shift = float(k) * 0.003
             c = c.withColumn(
