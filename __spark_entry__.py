@@ -564,8 +564,15 @@ def _jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    # the sf parquet is one file -> one input split; spread the
+    # per-row encodes across the executor slots (hash keeps the
+    # assignment deterministic-per-row, output is row-identified)
+    n = spark.sparkContext.defaultParallelism
     return (
-        _docs(spark, sf_dir).select("doc_id").mapInPandas(run, schema)
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(n, "doc_id")
+        .mapInPandas(run, schema)
     )
 
 

@@ -9,6 +9,8 @@ mappings are best-effort.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 # Adobe StandardEncoding: ASCII range is identity except the quotes.
 _STD_OVERRIDES = {
     0x27: "’",  # quoteright
@@ -19,7 +21,12 @@ _STD_OVERRIDES = {
 # WinAnsiEncoding is cp1252; MacRomanEncoding is mac_roman.
 
 
+@lru_cache(maxsize=8)
 def base_encoding_map(name: str) -> dict[int, str]:
+    """Memoized (3 distinct names exist): per-FONT rebuilds of the
+    256-entry codec tables showed up at ~30% of the single-thread
+    extraction profile on mixed crawl corpora. Callers copy before
+    mutating (fonts.py does `dict(base)`)."""
     out: dict[int, str] = {}
     if name == "MacRomanEncoding":
         for c in range(256):

@@ -88,24 +88,39 @@ class Font:
         self.default_width: float = 500.0
         self.space_code: Optional[int] = None
         self.space_width: float = 250.0   # width of the space glyph
+        self._wtbl: Optional[list] = None  # lazy 1-byte width table
 
     def decode(self, raw: bytes) -> str:
         nb = self.code_bytes
+        if nb == 1:
+            # hot path: latin-1 decode is the chr(c) identity and
+            # str.translate applies the code→unicode map at C speed
+            # with exactly the same missing-code fallback
+            return raw.decode("latin-1").translate(self.map)
         out = []
         for i in range(0, len(raw) - nb + 1, nb):
             code = int.from_bytes(raw[i : i + nb], "big")
             u = self.map.get(code)
             if u is None:
-                u = chr(code) if nb == 1 else "�"
+                u = "�"
             out.append(u)
         # trailing odd byte for 2-byte fonts: decode as 1-byte (lenient)
-        if nb == 2 and len(raw) % 2:
+        if len(raw) % 2:
             out.append(chr(raw[-1]))
         return "".join(out)
 
     def text_width(self, raw: bytes) -> float:
         """Sum of glyph widths (1000-units/em) for a shown string."""
         nb = self.code_bytes
+        if nb == 1:
+            # lazily cached 256-entry table -> C-speed map/sum
+            tbl = self._wtbl
+            if tbl is None:
+                dw = self.default_width
+                w = self.widths
+                tbl = [w.get(c, dw) for c in range(256)]
+                self._wtbl = tbl
+            return float(sum(map(tbl.__getitem__, raw)))
         total = 0.0
         for i in range(0, len(raw) - nb + 1, nb):
             code = int.from_bytes(raw[i : i + nb], "big")

@@ -16,6 +16,7 @@ is original, written against the PDF spec.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Tuple
 
 WHITESPACE = b"\x00\t\n\x0c\r "
@@ -76,9 +77,20 @@ def skip_ws(data: bytes, pos: int) -> int:
     return pos
 
 
+#: run of regular name characters (everything but ws/delimiters) —
+#: the C regex scanner replaces the per-byte loop on the hot path
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
+
 def _parse_name(data: bytes, pos: int) -> Tuple[Name, int]:
     # data[pos] == '/'
     pos += 1
+    m = _NAME_RUN_RE.match(data, pos)
+    seg = m.group()
+    if b"#" not in seg:
+        return Name(seg.decode("latin-1")), m.end()
+    # rare '#xx' escapes: byte-exact slow path (same semantics as the
+    # original loop, incl. the pos+2 < n guard quirk)
     n = len(data)
     out = bytearray()
     while pos < n:
@@ -206,12 +218,14 @@ def parse_object(data: bytes, pos: int) -> Tuple[Any, int]:
     raise ValueError(f"unexpected byte {bytes([c])!r} at {pos}")
 
 
+_NUM_RUN_RE = re.compile(rb"[+\-.0-9]+")
+
+
 def _parse_number_or_ref(data: bytes, pos: int) -> Tuple[Any, int]:
     n = len(data)
-    start = pos
-    while pos < n and data[pos] in _NUMCHARS:
-        pos += 1
-    tok = data[start:pos]
+    m = _NUM_RUN_RE.match(data, pos)
+    pos = m.end()
+    tok = m.group()
     if b"." in tok:
         try:
             return float(tok), pos

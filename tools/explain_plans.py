@@ -645,10 +645,14 @@ def main() -> None:
     add(
         "Image average-hash over real decode",
         entry._q_ahash_images(spark, SF),
-        "One Arrow-batched mapInPandas (true BMP decode + integer "
-        "block-sum hash) — payload bytes never shuffle, only (id, 64-"
-        "char hash) rows leave the executor; near-dup pairing then "
-        "rides the banded-hamming machinery on narrow keys.",
+        "Arrow-batched mapInPandas per codec family (true BMP decode "
+        "+ real baseline-JPEG encode→decode since round 5) unioned "
+        "into one integer block-sum hash pass — payload bytes never "
+        "shuffle; the one Exchange moves ONLY 8-byte doc_ids (the "
+        "deliberate repartition that spreads the single-file input's "
+        "per-row codec work across slots), and only (id, 64-char "
+        "hash) rows leave the executors; near-dup pairing then rides "
+        "the banded-hamming machinery on narrow keys.",
     )
 
     add(
