@@ -27,7 +27,9 @@ def tokenize(data: bytes) -> Iterator[Tuple[List, bytes]]:
         c = data[pos]
         if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or c in b"+-.0123456789":
             try:
-                obj, pos = parse_object(data, pos)
+                # content streams carry no indirect references
+                # (ISO 32000-1 §7.8.2): skip the "N gen R" lookahead
+                obj, pos = parse_object(data, pos, allow_ref=False)
             except ValueError:
                 pos += 1
                 continue

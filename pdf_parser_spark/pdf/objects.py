@@ -186,12 +186,18 @@ def _parse_hex_string(data: bytes, pos: int) -> Tuple[bytes, int]:
 _NUMCHARS = b"+-.0123456789"
 
 
-def parse_object(data: bytes, pos: int) -> Tuple[Any, int]:
+def parse_object(data: bytes, pos: int,
+                 allow_ref: bool = True) -> Tuple[Any, int]:
     """Parse one object at ``pos``; returns (object, next_pos).
 
     Streams are NOT consumed here (``stream`` keyword follows the dict);
     the document layer handles that because stream length may be an
     indirect reference.
+
+    ``allow_ref=False`` (content streams, where indirect references
+    cannot occur — ISO 32000-1 §7.8.2) skips the "N gen R" lookahead
+    that otherwise runs two extra whitespace+digit scans after EVERY
+    non-negative integer; TJ arrays are full of them.
     """
     pos = skip_ws(data, pos)
     if pos >= len(data):
@@ -203,25 +209,28 @@ def parse_object(data: bytes, pos: int) -> Tuple[Any, int]:
         return _parse_literal_string(data, pos)
     if c == 0x3C:  # '<'
         if data[pos : pos + 2] == b"<<":
-            return _parse_dict(data, pos)
+            return _parse_dict(data, pos, allow_ref)
         return _parse_hex_string(data, pos)
     if c == 0x5B:  # '['
-        return _parse_array(data, pos)
+        return _parse_array(data, pos, allow_ref)
+    # numbers FIRST — by far the most frequent leaf in content
+    # streams; the keyword startswith-probes only run for letters
+    if c in _NUMCHARS:
+        return _parse_number_or_ref(data, pos, allow_ref)
     if data.startswith(b"true", pos):
         return True, pos + 4
     if data.startswith(b"false", pos):
         return False, pos + 5
     if data.startswith(b"null", pos):
         return None, pos + 4
-    if c in _NUMCHARS:
-        return _parse_number_or_ref(data, pos)
     raise ValueError(f"unexpected byte {bytes([c])!r} at {pos}")
 
 
 _NUM_RUN_RE = re.compile(rb"[+\-.0-9]+")
 
 
-def _parse_number_or_ref(data: bytes, pos: int) -> Tuple[Any, int]:
+def _parse_number_or_ref(data: bytes, pos: int,
+                         allow_ref: bool = True) -> Tuple[Any, int]:
     n = len(data)
     m = _NUM_RUN_RE.match(data, pos)
     pos = m.end()
@@ -236,7 +245,7 @@ def _parse_number_or_ref(data: bytes, pos: int) -> Tuple[Any, int]:
     except ValueError:
         return 0, pos
     # Lookahead for "gen R" making this an indirect reference.
-    if value >= 0:
+    if allow_ref and value >= 0:
         p2 = skip_ws(data, pos)
         start2 = p2
         while p2 < n and 0x30 <= data[p2] <= 0x39:
@@ -251,7 +260,8 @@ def _parse_number_or_ref(data: bytes, pos: int) -> Tuple[Any, int]:
     return value, pos
 
 
-def _parse_array(data: bytes, pos: int) -> Tuple[list, int]:
+def _parse_array(data: bytes, pos: int,
+                 allow_ref: bool = True) -> Tuple[list, int]:
     pos += 1  # '['
     out = []
     n = len(data)
@@ -262,12 +272,13 @@ def _parse_array(data: bytes, pos: int) -> Tuple[list, int]:
         if data[pos] == 0x5D:  # ']'
             pos += 1
             break
-        obj, pos = parse_object(data, pos)
+        obj, pos = parse_object(data, pos, allow_ref)
         out.append(obj)
     return out, pos
 
 
-def _parse_dict(data: bytes, pos: int) -> Tuple[dict, int]:
+def _parse_dict(data: bytes, pos: int,
+                allow_ref: bool = True) -> Tuple[dict, int]:
     pos += 2  # '<<'
     out: dict = {}
     n = len(data)
@@ -281,12 +292,12 @@ def _parse_dict(data: bytes, pos: int) -> Tuple[dict, int]:
         if data[pos] != 0x2F:
             # Malformed dict entry: skip a token defensively.
             try:
-                _, pos = parse_object(data, pos)
+                _, pos = parse_object(data, pos, allow_ref)
             except ValueError:
                 pos += 1
             continue
         key, pos = _parse_name(data, pos)
         pos = skip_ws(data, pos)
-        value, pos = parse_object(data, pos)
+        value, pos = parse_object(data, pos, allow_ref)
         out[key] = value
     return out, pos
